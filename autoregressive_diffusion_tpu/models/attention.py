@@ -1,0 +1,141 @@
+"""Video / frame self-attention with a fixed-shape per-frame KV cache.
+
+Reimplementation of /root/reference/edm2/attention/attention_modules.py.
+
+Key TPU redesign vs the reference:
+  * The reference grows its KV cache by torch.cat each frame
+    (attention_modules.py:56). JAX needs static shapes, so the cache is a
+    PREALLOCATED buffer of `max_frames` frames written in place with
+    dynamic_update_slice; a global frame counter masks out unwritten slots.
+  * K/V are cached UN-rotated (like the reference) and RoPE is re-applied
+    with absolute frame positions on every call, so positions stay exact for
+    arbitrarily long rollouts.
+  * Execution paths (reference :63-75):
+      train  -> DART block-sparse mask over the 2T-frame concat
+      eval   -> block-causal prefill / single-frame decode vs the cache
+      just_2d-> per-frame attention, no mask/cache/RoPE.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import einops
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import dense_attention
+from ..ops.numerics import mp_sum, normalize
+from ..ops.masks import train_frame_mask, expand_to_tokens
+from ..ops.rope import rope_qk
+from .layers import MPConv
+
+
+class VideoAttention(nn.Module):
+    """Block-sparse spatiotemporal self-attention (reference :15-88)."""
+    channels: int
+    num_heads: int
+    attn_balance: float = 0.3
+    max_frames: int = 64  # KV cache capacity (frames)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cache=None, update_cache: bool = False,
+                 frames=0, mode: str = "train", just_2d: bool = False):
+        if self.num_heads == 0:
+            return x, cache
+        b, t, h, w = x.shape[:4]
+        hw = h * w
+        y = MPConv(self.channels * 3, (1, 1), name="attn_qkv")(x)
+        # reference channel layout of the qkv projection: (m c s)
+        y = einops.rearrange(y, "b t h w (m c s) -> s b m t (h w) c",
+                             s=3, m=self.num_heads)
+        q, k, v = normalize(y, axis=-1)  # per-head pixel norm (reference :49)
+
+        if just_2d:
+            # per-frame attention; (b, m, t) are batch dims
+            o = dense_attention(q, k, v)
+        elif mode == "train":
+            t_half = t // 2
+            pos = jnp.arange(t_half)
+            # clean/noisy replicas share positions (reference RoPe.py:47-49)
+            qs = q.reshape(b, self.num_heads, 2, t_half, hw, -1)
+            ks = k.reshape(b, self.num_heads, 2, t_half, hw, -1)
+            qs, ks = rope_qk(qs, ks, pos, pos, center=t_half // 2)
+            q = qs.reshape(b, self.num_heads, t * hw, -1)
+            k = ks.reshape(b, self.num_heads, t * hw, -1)
+            vv = v.reshape(b, self.num_heads, t * hw, -1)
+            mask = jnp.asarray(expand_to_tokens(train_frame_mask(t_half), hw))
+            o = dense_attention(q, k, vv, mask)
+            o = o.reshape(b, self.num_heads, t, hw, -1)
+        else:
+            o = self._eval_attention(q, k, v, cache, frames, b, t, hw)
+            if update_cache and cache is not None:
+                kbuf = jax.lax.dynamic_update_slice_in_dim(
+                    cache["k"], k.astype(cache["k"].dtype), frames, axis=2)
+                vbuf = jax.lax.dynamic_update_slice_in_dim(
+                    cache["v"], v.astype(cache["v"].dtype), frames, axis=2)
+                cache = {"k": kbuf, "v": vbuf}
+            elif update_cache and cache is None:
+                # create a fresh preallocated buffer holding the new frames
+                f = self.max_frames
+                kbuf = jnp.zeros((b, self.num_heads, f, hw, k.shape[-1]), k.dtype)
+                vbuf = jnp.zeros_like(kbuf)
+                kbuf = jax.lax.dynamic_update_slice_in_dim(kbuf, k, frames, axis=2)
+                vbuf = jax.lax.dynamic_update_slice_in_dim(vbuf, v, frames, axis=2)
+                cache = {"k": kbuf, "v": vbuf}
+
+        y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
+        y = MPConv(self.channels, (1, 1), name="attn_proj")(y)
+        return mp_sum(x, y, t=self.attn_balance), cache
+
+    def _eval_attention(self, q, k, v, cache, frames, b, t, hw):
+        """Prefill (t>=1 frames vs cache+self) and decode (t==1) share one
+        path: attend to all valid cached frames plus the new ones,
+        frame-causally."""
+        q_pos = frames + jnp.arange(t)
+        center = (frames + t) // 2
+        if cache is None:
+            k_pos = q_pos
+            kk, vv = k, v
+            # frame-causal mask (tq, tk)
+            fmask = q_pos[:, None] >= k_pos[None, :]
+        else:
+            f = cache["k"].shape[2]
+            kk = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"].astype(k.dtype), k, frames, axis=2)
+            vv = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"].astype(v.dtype), v, frames, axis=2)
+            k_pos = jnp.arange(f)
+            fmask = q_pos[:, None] >= k_pos[None, :]
+        qr, kr = rope_qk(q, kk, q_pos, k_pos, center=center)
+        tk = kr.shape[2]
+        qr = qr.reshape(b, self.num_heads, t * hw, -1)
+        kr = kr.reshape(b, self.num_heads, tk * hw, -1)
+        vr = vv.reshape(b, self.num_heads, tk * hw, -1)
+        mask = jnp.repeat(jnp.repeat(fmask, hw, axis=0), hw, axis=1)
+        o = dense_attention(qr, kr, vr, mask)
+        return o.reshape(b, self.num_heads, t, hw, -1)
+
+
+class FrameAttention(nn.Module):
+    """Per-frame (spatial-only) self-attention; no mask/cache/RoPE.
+    Reference: attention_modules.py:93-119."""
+    channels: int
+    num_heads: int
+    attn_balance: float = 0.3
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cache=None, update_cache: bool = False,
+                 frames=0, mode: str = "train", just_2d: bool = True):
+        if self.num_heads == 0:
+            return x, cache
+        b, t, h, w = x.shape[:4]
+        y = MPConv(self.channels * 3, (1, 1), name="attn_qkv")(x)
+        y = einops.rearrange(y, "b t h w (m c s) -> s b m t (h w) c",
+                             s=3, m=self.num_heads)
+        q, k, v = normalize(y, axis=-1)
+        o = dense_attention(q, k, v)
+        y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
+        y = MPConv(self.channels, (1, 1), name="attn_proj")(y)
+        return mp_sum(x, y, t=self.attn_balance), cache

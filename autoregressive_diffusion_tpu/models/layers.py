@@ -1,0 +1,167 @@
+"""Core magnitude-preserving layers (Flax linen, channels-last).
+
+Reimplementation of /root/reference/edm2/conv.py (MPConv,
+MPCausal3DGatedConv, Gating) with a pure-functional cache protocol:
+
+  y, new_cache = layer(x, ..., cache=cache, update_cache=..., mode=...)
+
+Modes are *static* Python values ('train' | 'eval'); caches are pytrees of
+fixed-shape arrays so every path is jittable. Video tensors are
+(B, T, H, W, C); there is no (b t) flattening at module boundaries.
+
+Forced weight normalization (reference conv.py:15-19 mutates the parameter in
+forward) is moved to the optimizer step -- see train/optim.py
+`forced_weight_norm`. Forwards always use normalize(w) so gradients match.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.numerics import mp_weight, mp_sum, bmult
+
+# Parameter init: the reference uses torch.randn (std 1); the forced weight
+# normalization makes the scale irrelevant after the first optimizer step.
+_randn = nn.initializers.normal(stddev=1.0)
+
+
+def mp_sum_gated(a: jax.Array, b: jax.Array, gate: jax.Array) -> jax.Array:
+    """mp_sum with a per-(batch, frame) gate.
+
+    a, b: (B, T, H, W, C); gate: (B, T). Matches reference conv.py:95
+    `mp_sum(last_frame_conv, context, gating.flatten())` which gates per
+    flattened (b t) row.
+    """
+    g = gate.astype(a.dtype)[:, :, None, None, None]
+    lerp = a + (b - a) * g
+    return lerp * ((1 - g) ** 2 + g**2) ** -0.5
+
+
+class MPConv(nn.Module):
+    """Magnitude-preserving dense (kernel=()) or 2D conv (kernel=(kh,kw)).
+
+    Reference: edm2/conv.py:27-46. Input layout: (..., C_in) for dense,
+    (..., H, W, C_in) for conv (leading dims collapsed to batch).
+    """
+    out_channels: int
+    kernel: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, gain=1.0) -> jax.Array:
+        in_ch = x.shape[-1]
+        if len(self.kernel) == 0:
+            w = self.param("w", _randn, (in_ch, self.out_channels))
+            w = mp_weight(w, gain).astype(x.dtype)
+            return x @ w
+        kh, kw = self.kernel
+        w = self.param("w", _randn, (kh, kw, in_ch, self.out_channels))
+        w = mp_weight(w, gain).astype(x.dtype)
+        lead = x.shape[:-3]
+        x4 = x.reshape((-1,) + x.shape[-3:])
+        y = jax.lax.conv_general_dilated(
+            x4, w, window_strides=(1, 1),
+            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y.reshape(lead + y.shape[1:])
+
+
+class Gating(nn.Module):
+    """Noise/position-conditioned gate between the 2D and 3D-context conv
+    branches. Reference: edm2/conv.py:104-127.
+
+    gate = mn + (1-mn)*mx*sigmoid(1.5*c_noise - 0.5*log1p(position) + offsets)
+    with mn = sigmoid(min_gating), mx = sigmoid(max_gating) (both init -5).
+    """
+
+    @nn.compact
+    def __call__(self, c_noise: jax.Array, n_context_frames=0,
+                 just_2d: bool = False, train: bool = False):
+        offset = self.param("offset", nn.initializers.zeros, (2,))
+        mult = self.param("mult", lambda k: jnp.array([1.5, -0.5], jnp.float32))
+        max_g = self.param("max_gating", lambda k: jnp.float32(-5.0))
+        min_g = self.param("min_gating", lambda k: jnp.float32(-5.0))
+
+        b, t_total = c_noise.shape
+        t_dim = t_total // 2 if train else t_total
+        if just_2d:
+            positions = jnp.zeros_like(c_noise)
+        else:
+            pos = jnp.arange(b * t_total) % t_dim
+            pos = pos.reshape(b, t_total) + n_context_frames
+            positions = jnp.log1p(pos.astype(c_noise.dtype))
+
+        state = (c_noise * mult[0] + offset[0]) + (positions * mult[1] + offset[1])
+        mn = jax.nn.sigmoid(min_g)
+        mx = jax.nn.sigmoid(max_g)
+        gate = mn + (1 - mn) * mx * jax.nn.sigmoid(state)
+        return gate, n_context_frames + t_dim
+
+
+class MPCausalConv3d(nn.Module):
+    """Magnitude-preserving causal 3D gated conv -- the temporal-mixing
+    workhorse. Reference: edm2/conv.py:49-101 (MPCausal3DGatedConv).
+
+    The (kt,kh,kw) conv splits into:
+      * a 2D (kh,kw) conv on each frame ("last_frame_conv"),
+      * a (kt-1,kh,kw) 3D conv over STRICTLY PAST frames of the clean stream,
+    blended by the learned Gating.
+
+    Modes:
+      train:  x is the DART concat (B, 2T, H, W, C); only the clean half
+              feeds the context conv, the result is duplicated to both halves
+              (reference conv.py:76-91).
+      eval:   x is (B, T, H, W, C); the cache carries the last kt-1 frames of
+              padded activations (ring buffer, init ones -- conv.py:68).
+    """
+    out_channels: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c_noise: jax.Array, frames=0,
+                 cache=None, update_cache: bool = False,
+                 mode: str = "train", just_2d: bool = False):
+        b, t_total, h, w, cin = x.shape
+        kt, kh, kw = self.kernel
+        last_frame_conv = MPConv(self.out_channels, (kh, kw), name="last_frame_conv")
+        y2d = last_frame_conv(x)
+        if just_2d:
+            return y2d, cache
+
+        kt_ctx = kt - 1
+        w3 = self.param("w", _randn, (kt_ctx, kh, kw, cin, self.out_channels))
+        w3 = mp_weight(w3).astype(x.dtype)
+
+        gate, _ = Gating(name="gating")(
+            c_noise, n_context_frames=frames, train=(mode == "train"))
+
+        if mode == "train":
+            t = t_total // 2
+            clean = x[:, :t]
+            pad = jnp.ones((b, kt_ctx, h, w, cin), x.dtype)
+            ctx_in = jnp.concatenate([pad, clean], axis=1)
+            new_cache = cache
+        else:
+            if cache is None:
+                pad = jnp.ones((b, kt_ctx, h, w, cin), x.dtype)
+            else:
+                pad = cache["act"].astype(x.dtype)
+            ctx_in = jnp.concatenate([pad, x], axis=1)
+            new_cache = (
+                {"act": jax.lax.stop_gradient(ctx_in[:, -kt_ctx:])}
+                if update_cache else cache)
+
+        # conv over strictly past frames: drop the last frame, VALID in time.
+        ctx = jax.lax.conv_general_dilated(
+            ctx_in[:, :-1], w3, window_strides=(1, 1, 1),
+            padding=[(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        if mode == "train":
+            ctx = jnp.concatenate([ctx, ctx], axis=1)  # duplicate to both halves
+
+        return mp_sum_gated(y2d, ctx, gate), new_cache

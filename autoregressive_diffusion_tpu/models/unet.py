@@ -1,0 +1,314 @@
+"""EDM2 magnitude-preserving UNet denoiser + preconditioner (Flax).
+
+Reimplementation of /root/reference/edm2/networks_edm2.py (Block :19,
+UNet :117, Precond :266) with:
+  * channels-last video tensors (B, T, H, W, C),
+  * a typed pytree cache threaded through calls (no mutable dicts),
+  * static `mode` ('train'|'eval') instead of nn.Module.training,
+  * bf16 body / fp32 preconditioning on TPU (reference uses fp16/fp32).
+
+Documented divergences from the reference:
+  * the dead `emb_fourier_time`/`emb_time` branch (networks_edm2.py:205-210,
+    computed but excluded from the sum) is not reproduced;
+  * `out_res` gating (networks_edm2.py:197, result unused) is kept only as
+    the frame counter bookkeeping it performs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.numerics import (bmult, mp_cat, mp_fourier, mp_silu, mp_sum,
+                            normalize, resample)
+from .attention import FrameAttention, VideoAttention
+from .layers import MPConv, MPCausalConv3d, Gating
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Knob set of reference UNet.__init__ (networks_edm2.py:118-131)."""
+    img_resolution: int
+    img_channels: int
+    label_dim: int = 0
+    model_channels: int = 128
+    channel_mult: Tuple[int, ...] = (1, 2, 2, 4)
+    channel_mult_noise: Optional[int] = None
+    channel_mult_emb: Optional[int] = None
+    num_blocks: int = 3
+    video_attn_resolutions: Tuple[int, ...] = (8,)
+    frame_attn_resolutions: Tuple[int, ...] = (16,)
+    label_balance: float = 0.5
+    concat_balance: float = 0.5
+    channels_per_head: int = 64
+    res_balance: float = 0.3
+    attn_balance: float = 0.3
+    clip_act: float = 256.0
+    dropout: float = 0.0
+    max_frames: int = 64  # KV-cache capacity for autoregressive rollout
+
+    @property
+    def cblock(self):
+        return [self.model_channels * m for m in self.channel_mult]
+
+    @property
+    def cnoise(self):
+        return (self.model_channels * self.channel_mult_noise
+                if self.channel_mult_noise is not None else self.cblock[0])
+
+    @property
+    def cemb(self):
+        return (self.model_channels * self.channel_mult_emb
+                if self.channel_mult_emb is not None else max(self.cblock))
+
+    def block_layout(self):
+        """Replays the reference constructor (networks_edm2.py:152-184):
+        yields ('enc'|'dec', name, dict(in, out, res, flavor, resample,
+        attention, is_conv)). Guarantees the Flax module tree and the cache
+        initializer agree."""
+        out = []
+        cout = self.img_channels + 1
+        for level, channels in enumerate(self.cblock):
+            res = self.img_resolution >> level
+            if level == 0:
+                cin, cout = cout, channels
+                out.append(("enc", f"{res}x{res}_conv",
+                            dict(cin=cin, cout=cout, res=res, kind="conv")))
+            else:
+                out.append(("enc", f"{res}x{res}_down",
+                            dict(cin=cout, cout=cout, res=res, kind="block",
+                                 flavor="enc", resample="down", attention=None)))
+            for idx in range(self.num_blocks):
+                cin, cout = cout, channels
+                attn = ("video" if res in self.video_attn_resolutions else
+                        "frame" if res in self.frame_attn_resolutions else None)
+                out.append(("enc", f"{res}x{res}_block{idx}",
+                            dict(cin=cin, cout=cout, res=res, kind="block",
+                                 flavor="enc", resample="keep", attention=attn)))
+        skips = [spec["cout"] for (_, _, spec) in out]
+        for level, channels in reversed(list(enumerate(self.cblock))):
+            res = self.img_resolution >> level
+            if level == len(self.cblock) - 1:
+                out.append(("dec", f"{res}x{res}_in0",
+                            dict(cin=cout, cout=cout, res=res, kind="block",
+                                 flavor="dec", resample="keep", attention="video")))
+                out.append(("dec", f"{res}x{res}_in1",
+                            dict(cin=cout, cout=cout, res=res, kind="block",
+                                 flavor="dec", resample="keep", attention=None)))
+            else:
+                out.append(("dec", f"{res}x{res}_up",
+                            dict(cin=cout, cout=cout, res=res, kind="block",
+                                 flavor="dec", resample="up", attention=None)))
+            for idx in range(self.num_blocks + 1):
+                cin = cout + skips.pop()
+                cout = channels
+                attn = ("video" if res in self.video_attn_resolutions else
+                        "frame" if res in self.frame_attn_resolutions else None)
+                out.append(("dec", f"{res}x{res}_block{idx}",
+                            dict(cin=cin, cout=cout, res=res, kind="block",
+                                 flavor="dec", resample="keep", attention=attn)))
+        out.append(("out", "out_conv",
+                    dict(cin=cout, cout=self.img_channels, res=self.img_resolution,
+                         kind="conv")))
+        return out
+
+
+class MPFourier(nn.Module):
+    """Random Fourier features with fixed (buffer) freqs/phases.
+    Reference: edm2/utils.py:139-150."""
+    num_channels: int
+    bandwidth: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def init_freqs():
+            k = self.make_rng("params")
+            return 2 * jnp.pi * jax.random.normal(k, (self.num_channels,)) * self.bandwidth
+
+        def init_phases():
+            k = self.make_rng("params")
+            return 2 * jnp.pi * jax.random.uniform(k, (self.num_channels,))
+
+        freqs = self.variable("buffers", "freqs", init_freqs).value
+        phases = self.variable("buffers", "phases", init_phases).value
+        return mp_fourier(x, freqs, phases)
+
+
+class Block(nn.Module):
+    """UNet residual block (reference networks_edm2.py:19-94)."""
+    out_channels: int
+    flavor: str = "enc"
+    resample_mode: str = "keep"
+    attention: Optional[str] = None  # 'video' | 'frame' | None
+    channels_per_head: int = 64
+    dropout: float = 0.0
+    res_balance: float = 0.3
+    attn_balance: float = 0.3
+    clip_act: Optional[float] = 256.0
+    max_frames: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, c_noise: jax.Array,
+                 frames=0, cache=None, update_cache: bool = False,
+                 mode: str = "train", just_2d: bool = False):
+        if cache is None:
+            cache = {}
+        in_channels = x.shape[-1]
+        num_heads = (self.out_channels // self.channels_per_head
+                     if self.attention else 0)
+
+        x = resample(x, f=(1, 1), mode=self.resample_mode)
+        if self.flavor == "enc":
+            if in_channels != self.out_channels:
+                x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
+            x = normalize(x, axis=-1)  # pixel norm
+
+        y, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res0")(
+            mp_silu(x), c_noise, frames, cache.get("conv_res0"), update_cache,
+            mode, just_2d)
+        emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
+        c = MPConv(self.out_channels, (), name="emb_linear")(emb, gain=emb_gain) + 1
+        y = y * c[:, :, None, None, :].astype(y.dtype)
+        y = mp_silu(y)
+        y, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res1")(
+            y, c_noise, frames, cache.get("conv_res1"), update_cache, mode, just_2d)
+
+        if self.flavor == "dec" and in_channels != self.out_channels:
+            x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
+        x = mp_sum(x, y, t=self.res_balance)
+
+        attn_cache = cache.get("attn")
+        if self.attention == "video":
+            x, attn_cache = VideoAttention(
+                self.out_channels, num_heads, self.attn_balance,
+                max_frames=self.max_frames, name="attn")(
+                    x, attn_cache, update_cache, frames, mode, just_2d)
+        elif self.attention == "frame":
+            x, attn_cache = FrameAttention(
+                self.out_channels, num_heads, self.attn_balance, name="attn")(
+                    x, attn_cache, update_cache, frames, mode, just_2d)
+
+        if self.clip_act is not None:
+            x = jnp.clip(x, -self.clip_act, self.clip_act)
+
+        new_cache = dict(conv_res0=c0, conv_res1=c1)
+        if attn_cache is not None:
+            new_cache["attn"] = attn_cache
+        return x, new_cache
+
+
+class UNet(nn.Module):
+    """Full encoder/decoder (reference networks_edm2.py:117-236)."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c_noise: jax.Array, conditioning=None,
+                 cache=None, update_cache: bool = False, mode: str = "train",
+                 just_2d: bool = False):
+        cfg = self.cfg
+        if cache is None:
+            cache = {}
+        b, t = x.shape[:2]
+        frames = cache.get("frames", jnp.int32(0))
+
+        out_gain = self.param("out_gain", nn.initializers.zeros, ())
+        # out_res gating: result unused (reference :197, :235 commented out);
+        # kept for the frame counter + parameter parity.
+        _, new_frames = Gating(name="out_res")(
+            c_noise, frames, just_2d=just_2d, train=(mode == "train"))
+
+        # Embeddings (per-frame).
+        emb = MPConv(cfg.cemb, (), name="emb_noise")(
+            MPFourier(cfg.cnoise, name="emb_fourier_sigma")(c_noise))
+        if cfg.label_dim != 0 and conditioning is not None:
+            one_hot = jax.nn.one_hot(conditioning, cfg.label_dim,
+                                     dtype=c_noise.dtype)
+            one_hot = one_hot * math.sqrt(cfg.label_dim)
+            lab = MPConv(cfg.cemb, (), name="emb_label")(one_hot)
+            emb = mp_sum(emb, lab, t=1 / 3)
+        emb = mp_silu(emb)
+
+        # Encoder: append the ones channel (reference :221).
+        x = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+        new_cache = {"frames": new_frames if update_cache else frames}
+        skips = []
+        blocks = {}
+        for side, name, spec in cfg.block_layout():
+            blocks.setdefault(side, []).append((name, spec))
+
+        enc_cache, dec_cache = {}, {}
+        for name, spec in blocks["enc"]:
+            sub = cache.get("enc", {}).get(name)
+            if spec["kind"] == "conv":
+                x, c = MPCausalConv3d(spec["cout"], (3, 3, 3),
+                                      name=f"enc_{name}")(
+                    x, c_noise, frames, sub, update_cache, mode, just_2d)
+            else:
+                x, c = Block(spec["cout"], flavor="enc",
+                             resample_mode=spec["resample"],
+                             attention=spec["attention"],
+                             channels_per_head=cfg.channels_per_head,
+                             dropout=cfg.dropout, res_balance=cfg.res_balance,
+                             attn_balance=cfg.attn_balance,
+                             clip_act=cfg.clip_act, max_frames=cfg.max_frames,
+                             name=f"enc_{name}")(
+                    x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
+            enc_cache[name] = c
+            skips.append(x)
+
+        for name, spec in blocks["dec"]:
+            if "block" in name:
+                x = mp_cat(x, skips.pop(), t=cfg.concat_balance)
+            sub = cache.get("dec", {}).get(name)
+            x, c = Block(spec["cout"], flavor="dec",
+                         resample_mode=spec["resample"],
+                         attention=spec["attention"],
+                         channels_per_head=cfg.channels_per_head,
+                         dropout=cfg.dropout, res_balance=cfg.res_balance,
+                         attn_balance=cfg.attn_balance,
+                         clip_act=cfg.clip_act, max_frames=cfg.max_frames,
+                         name=f"dec_{name}")(
+                x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
+            dec_cache[name] = c
+
+        x, out_c = MPCausalConv3d(cfg.img_channels, (3, 3, 3), name="out_conv")(
+            x, c_noise, frames, cache.get("out_conv"), update_cache, mode, just_2d)
+        x = x * out_gain
+
+        new_cache.update(enc=enc_cache, dec=dec_cache, out_conv=out_c)
+        return x, new_cache
+
+
+class Precond(nn.Module):
+    """EDM preconditioner (reference networks_edm2.py:266-297).
+
+    c_skip = sd^2/(s^2+sd^2); c_out = s*sd/sqrt(s^2+sd^2);
+    c_in = 1/sqrt(sd^2+s^2); c_noise = log(s)/4. Body runs in `body_dtype`
+    (bf16 on TPU), preconditioning stays fp32.
+    """
+    cfg: UNetConfig
+    sigma_data: float = 0.5
+    body_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, sigma: jax.Array, conditioning=None,
+                 cache=None, update_cache: bool = False, mode: str = "train",
+                 just_2d: bool = False):
+        x = x.astype(jnp.float32)
+        sigma = sigma.astype(jnp.float32)
+        s = sigma[:, :, None, None, None]
+        sd = self.sigma_data
+        c_skip = sd**2 / (s**2 + sd**2)
+        c_out = s * sd / jnp.sqrt(s**2 + sd**2)
+        c_in = 1 / jnp.sqrt(sd**2 + s**2)
+        c_noise = jnp.log(sigma) / 4
+
+        x_in = (c_in * x).astype(self.body_dtype)
+        f_x, cache = UNet(self.cfg, name="unet")(
+            x_in, c_noise, conditioning, cache, update_cache, mode, just_2d)
+        return c_skip * x + c_out * f_x.astype(jnp.float32), cache
