@@ -1,0 +1,102 @@
+"""UNet-level consistency + causality, mirroring
+/root/reference/edm2/consistency_test.py:174-228, plus Precond math checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoregressive_diffusion_tpu.models import (Precond, UNet, UNetConfig,
+                                                 init_cache)
+
+CFG = UNetConfig(img_resolution=16, img_channels=8, label_dim=0,
+                 model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                 video_attn_resolutions=(16, 8), frame_attn_resolutions=(),
+                 channels_per_head=16, max_frames=16)
+B, T = 2, 6
+CUT = 3
+TOL = 3e-4
+
+
+@pytest.fixture(scope="module")
+def unet_and_params():
+    unet = UNet(CFG)
+    x = jnp.zeros((B, T, 16, 16, 8))
+    cn = jnp.zeros((B, T))
+    variables = unet.init(jax.random.PRNGKey(0), x, cn, mode="eval")
+    # out_gain is zero-init (reference networks_edm2.py:143), which would make
+    # the raw UNet output identically zero; set it to 1 so consistency and
+    # causality are observable.
+    variables["params"]["out_gain"] = jnp.float32(1.0)
+    return unet, variables
+
+
+def test_train_vs_eval(unet_and_params):
+    unet, variables = unet_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 2 * T, 16, 16, 8))
+    cn = jnp.zeros((B, 2 * T))
+    y_train, _ = unet.apply(variables, x, cn, mode="train")
+
+    x_eval = jnp.concatenate([x[:, :CUT], x[:, CUT + T][:, None]], axis=1)
+    cn_eval = jnp.zeros((B, CUT + 1))
+    y_eval, _ = unet.apply(variables, x_eval, cn_eval, mode="eval")
+
+    d1 = float(jnp.std(y_train[:, :CUT] - y_eval[:, :-1]))
+    d2 = float(jnp.std(y_train[:, CUT + T] - y_eval[:, -1]))
+    assert d1 <= TOL, d1
+    assert d2 <= TOL, d2
+
+
+def test_causality(unet_and_params):
+    """Perturbing clean frame k must affect only frames >= k in the clean half
+    and frames > k in the noisy half (reference :214-228)."""
+    unet, variables = unet_and_params
+    key = jax.random.PRNGKey(2)
+    r = jax.random.normal(key, (B, T, 16, 16, 8))
+    zeros = jnp.zeros_like(r)
+    a = jnp.concatenate([zeros, r], axis=1)
+    xp = zeros.at[:, CUT].set(jax.random.normal(jax.random.fold_in(key, 1),
+                                                (B, 16, 16, 8)))
+    b = jnp.concatenate([xp, r], axis=1)
+    cn = jnp.zeros((B, 2 * T))
+    y = (unet.apply(variables, b, cn, mode="train")[0]
+         - unet.apply(variables, a, cn, mode="train")[0])
+
+    assert float(jnp.std(y[:, :CUT])) <= TOL
+    assert float(jnp.std(y[:, CUT:T])) > 0.01
+    assert float(jnp.std(y[:, T:T + CUT])) <= TOL
+    assert float(jnp.std(y[:, T + CUT + 1:])) > 0.01
+
+
+def test_precond_cached_rollout_consistency():
+    """Full Precond: prefill + cached decode == uncached eval (the core
+    O(1)-per-frame inference invariant)."""
+    model = Precond(CFG, sigma_data=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T, 16, 16, 8))
+    sigma = jnp.full((B, T), 0.5)
+    variables = model.init(jax.random.PRNGKey(4), x, sigma, mode="eval")
+    variables["params"]["unet"]["out_gain"] = jnp.float32(1.0)
+
+    y_full, _ = model.apply(variables, x, sigma, mode="eval")
+
+    cache = init_cache(model, variables, B)
+    _, cache = model.apply(variables, x[:, :-1], sigma[:, :-1], cache=cache,
+                           update_cache=True, mode="eval")
+    y_dec, _ = model.apply(variables, x[:, -1:], sigma[:, -1:], cache=cache,
+                           mode="eval")
+    d = float(jnp.std(y_full[:, -1] - y_dec[:, 0]))
+    assert d <= TOL, d
+
+
+def test_precond_formulas():
+    """c_skip/c_out/c_in identities: at F_x == 0 the output is c_skip * x."""
+    model = Precond(CFG, sigma_data=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 16, 16, 8))
+    sigma = jnp.array([[1.0, 4.0]])
+    variables = model.init(jax.random.PRNGKey(6), x, sigma, mode="eval")
+    y, _ = model.apply(variables, x, sigma, mode="eval")
+    # out_gain is zero-init so UNet output is exactly 0 -> y == c_skip * x
+    sd = 0.5
+    c_skip = sd**2 / (sigma**2 + sd**2)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(c_skip[:, :, None, None, None] * x),
+        rtol=1e-5, atol=1e-5)
