@@ -1,0 +1,1 @@
+from .sampler import edm_sampler, generate, karras_schedule
