@@ -1,0 +1,128 @@
+"""Counter-Strike latent/frame streaming datasets.
+
+Reimplementation of /root/reference/edm2/cs_dataloading.py (CsDataset /
+CsVaeDataset + collates) and the offline processing pipeline
+(/root/reference/edm2/cs_dataset_processing/). The reference streams
+MosaicML-MDS shards from S3; here the same windows are read from:
+  * MosaicML `streaming.StreamingDataset` when the library is installed
+    (remote object stores), or
+  * a local shard directory of .npz files (one 1000-frame clip per file),
+    the object-store-free path used on TPU pods with prefetched data.
+
+Each sample mirrors the reference: a `clip_size` window of pre-encoded VAE
+latent means (fp16) + actions, chunked from ~1000-frame clips
+(cs_dataloading.py:28-45, :60-81).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class LocalLatentShards:
+    """Reads .npz shards with arrays 'latents' (t, h, w, c) [or 'frames'] and
+    'actions' (t, a), yielding clip windows. Shard layout is produced by
+    `write_latent_shard` below."""
+
+    def __init__(self, shard_dir: str, clip_size: int = 64,
+                 key: str = "latents", seed: int = 0, shuffle: bool = True):
+        self.paths = sorted(
+            os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
+            if f.endswith(".npz"))
+        if not self.paths:
+            raise FileNotFoundError(f"no .npz shards in {shard_dir}")
+        self.clip_size = clip_size
+        self.key = key
+        self.seed = seed
+        self.shuffle = shuffle
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed)
+        order = np.arange(len(self.paths))
+        while True:
+            if self.shuffle:
+                rng.shuffle(order)
+            for i in order:
+                with np.load(self.paths[i]) as z:
+                    data = z[self.key]
+                    actions = z["actions"] if "actions" in z else None
+                t = data.shape[0]
+                n = t // self.clip_size
+                starts = np.arange(n) * self.clip_size
+                if self.shuffle:
+                    rng.shuffle(starts)
+                for s in starts:
+                    item = {self.key: data[s:s + self.clip_size]}
+                    if actions is not None:
+                        item["actions"] = actions[s:s + self.clip_size]
+                    yield item
+
+
+def write_latent_shard(path: str, latents: np.ndarray,
+                       actions: Optional[np.ndarray] = None):
+    """Offline tool output format (the MDSWriter equivalent of
+    dataset_processing_counter_strike.py:89-131): fp16 latents + actions per
+    clip, zstd-free npz (XLA-host friendly)."""
+    arrays = {"latents": latents.astype(np.float16)}
+    if actions is not None:
+        arrays["actions"] = actions
+    np.savez_compressed(path, **arrays)
+
+
+def streaming_dataset(remote: str, local: str, clip_size: int = 64,
+                      key: str = "latents"):
+    """MosaicML streaming path (requires `streaming`; reference
+    cs_dataloading.py:20-27). Yields the same dict windows."""
+    from streaming import StreamingDataset  # optional dependency
+
+    ds = StreamingDataset(local=local, remote=remote, shuffle=True,
+                          batch_size=1)
+    for sample in ds:
+        data = np.frombuffer(sample[key], dtype=np.float16) \
+            if isinstance(sample[key], (bytes, bytearray)) else np.asarray(sample[key])
+        t = data.shape[0]
+        for s in range(0, t - clip_size + 1, clip_size):
+            item = {key: data[s:s + clip_size]}
+            if "actions" in sample:
+                item["actions"] = np.asarray(sample["actions"])[s:s + clip_size]
+            yield item
+
+
+def batched_latents(dataset, batch_size: int, normalize=None,
+                    num_workers: int = 2, prefetch: int = 4):
+    """(b, t, h, w, c) fp32 latent batches (+ actions when present), with the
+    reference's latent normalization applied on host:
+    (means - vae.mean)/vae.std (cs_train.py:102)."""
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch * batch_size)
+
+    def worker(it):
+        for item in it:
+            q.put(item)
+
+    if num_workers > 0:
+        for w in range(num_workers):
+            import copy
+            ds = copy.copy(dataset)
+            if hasattr(ds, "seed"):
+                ds.seed = dataset.seed + w
+            threading.Thread(target=worker, args=(iter(ds),), daemon=True).start()
+        get = q.get
+    else:
+        it = iter(dataset)
+        get = lambda: next(it)
+
+    while True:
+        items = [get() for _ in range(batch_size)]
+        key = "latents" if "latents" in items[0] else "frames"
+        arr = np.stack([np.asarray(it[key], np.float32) for it in items])
+        if normalize is not None:
+            mean, std = normalize
+            arr = (arr - mean) / std
+        out = {key: arr}
+        if "actions" in items[0]:
+            out["actions"] = np.stack([it["actions"] for it in items])
+        yield out

@@ -26,6 +26,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.attention import dense_attention
+from ..ops.flash_attention import (causal_frame_attention, dart_attention,
+                                   flash_supported)
 from ..ops.numerics import mp_sum, normalize
 from ..ops.masks import train_frame_mask, expand_to_tokens
 from ..ops.rope import rope_qk
@@ -65,8 +67,12 @@ class VideoAttention(nn.Module):
             q = qs.reshape(b, self.num_heads, t * hw, -1)
             k = ks.reshape(b, self.num_heads, t * hw, -1)
             vv = v.reshape(b, self.num_heads, t * hw, -1)
-            mask = jnp.asarray(expand_to_tokens(train_frame_mask(t_half), hw))
-            o = dense_attention(q, k, vv, mask)
+            if flash_supported(t * hw, q.shape[-1]):
+                # Pallas block-sparse DART flash kernel (fwd+bwd)
+                o = dart_attention(q, k, vv, t_half, hw)
+            else:
+                mask = jnp.asarray(expand_to_tokens(train_frame_mask(t_half), hw))
+                o = dense_attention(q, k, vv, mask)
             o = o.reshape(b, self.num_heads, t, hw, -1)
         else:
             o = self._eval_attention(q, k, v, cache, frames, b, t, hw)
@@ -113,8 +119,12 @@ class VideoAttention(nn.Module):
         qr = qr.reshape(b, self.num_heads, t * hw, -1)
         kr = kr.reshape(b, self.num_heads, tk * hw, -1)
         vr = vv.reshape(b, self.num_heads, tk * hw, -1)
-        mask = jnp.repeat(jnp.repeat(fmask, hw, axis=0), hw, axis=1)
-        o = dense_attention(qr, kr, vr, mask)
+        if cache is None and flash_supported(t * hw, qr.shape[-1]):
+            # fresh prefill: Pallas frame-causal flash kernel
+            o = causal_frame_attention(qr, kr, vr, t, hw)
+        else:
+            mask = jnp.repeat(jnp.repeat(fmask, hw, axis=0), hw, axis=1)
+            o = dense_attention(qr, kr, vr, mask)
         return o.reshape(b, self.num_heads, t, hw, -1)
 
 

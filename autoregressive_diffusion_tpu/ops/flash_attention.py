@@ -1,0 +1,157 @@
+"""Block-sparse DART flash attention (Pallas splash-attention kernels).
+
+The reference JIT-compiles Triton FlexAttention kernels from its BlockMasks
+(/root/reference/edm2/attention/attention_modules.py:63-88,
+attention_masking.py:27-90). The TPU-native equivalent is the Pallas
+splash-attention kernel family: the DART mask becomes a *lazy* computable
+mask (never materialized at token granularity) from which the kernel derives
+its static block-sparsity grid; forward and backward are fused flash kernels
+that never materialize the (S, S) logits.
+
+Masks (frame granularity, SURVEY.md section 2.1 "TrainingMask"):
+  * DartMask over 2T frames of `hw` tokens: clean q attends clean <= q;
+    noisy q attends clean < q plus itself.
+  * CausalFrameMask over T frames: block-causal prefill.
+
+Kernels are memoized per (heads, shape, dtype) bucket, mirroring the
+reference's lru_cache(16) on mask construction.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas.ops.tpu.splash_attention import (
+    splash_attention_kernel as splash,
+    splash_attention_mask as mask_lib,
+)
+
+
+class DartMask(mask_lib._ComputableMask):
+    """DART training mask at token granularity over S = 2*T*hw tokens.
+
+    mask(q, k) with qf = q // hw, kf = k // hw (frame indices in [0, 2T)):
+      qf,kf < T        : kf <= qf            (clean causal, inclusive)
+      qf >= T, kf < T  : kf <  qf - T        (noisy sees strictly-past clean)
+      qf,kf >= T       : qf == kf            (noisy self block)
+    """
+
+    def __init__(self, n_frames: int, tokens_per_frame: int,
+                 shard_count: int = 1):
+        self.n_frames = n_frames
+        self.tokens_per_frame = tokens_per_frame
+        t, hw = n_frames, tokens_per_frame
+
+        def dart_mask_function(q_ids, kv_ids):
+            qf = q_ids // hw
+            kf = kv_ids // hw
+            clean_q, clean_k = qf < t, kf < t
+            both_clean = clean_q & clean_k & (kf <= qf)
+            noisy_clean = (~clean_q) & clean_k & (kf < qf - t)
+            noisy_self = (~clean_q) & (~clean_k) & (qf == kf)
+            return both_clean | noisy_clean | noisy_self
+
+        s = 2 * t * hw
+        super().__init__(shape=(s, s), mask_function=dart_mask_function,
+                         shard_count=shard_count)
+
+    def __eq__(self, other):
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        return (self.n_frames == other.n_frames
+                and self.tokens_per_frame == other.tokens_per_frame)
+
+    def __hash__(self):
+        return hash((type(self), self.n_frames, self.tokens_per_frame))
+
+
+class CausalFrameMask(mask_lib._ComputableMask):
+    """Block-causal (frame granular) mask for inference prefill."""
+
+    def __init__(self, n_frames: int, tokens_per_frame: int,
+                 shard_count: int = 1):
+        self.n_frames = n_frames
+        self.tokens_per_frame = tokens_per_frame
+        hw = tokens_per_frame
+
+        def causal_fn(q_ids, kv_ids):
+            return q_ids // hw >= kv_ids // hw
+
+        s = n_frames * hw
+        super().__init__(shape=(s, s), mask_function=causal_fn,
+                         shard_count=shard_count)
+
+    def __eq__(self, other):
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        return (self.n_frames == other.n_frames
+                and self.tokens_per_frame == other.tokens_per_frame)
+
+    def __hash__(self):
+        return hash((type(self), self.n_frames, self.tokens_per_frame))
+
+
+def _block_sizes(seq_len: int):
+    b = min(512, seq_len)
+    return splash.BlockSizes(
+        block_q=b, block_kv=b, block_kv_compute=b,
+        block_q_dkv=b, block_kv_dkv=b, block_kv_dkv_compute=b,
+        block_q_dq=b, block_kv_dq=b,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _make_kernel(kind: str, num_heads: int, n_frames: int,
+                 tokens_per_frame: int, interpret: bool):
+    mask_cls = DartMask if kind == "dart" else CausalFrameMask
+    one = mask_cls(n_frames, tokens_per_frame)
+    mask = mask_lib.MultiHeadMask([one] * num_heads)
+    # splash lru-caches processed MaskInfo arrays; force eager (concrete)
+    # construction so the cache never captures tracers from an enclosing jit
+    # trace (they would leak into the backward trace otherwise).
+    with jax.ensure_compile_time_eval():
+        return splash.make_splash_mha(
+            mask, block_sizes=_block_sizes(one.shape[0]),
+            head_shards=1, q_seq_shards=1, interpret=interpret)
+
+
+def _apply(kind: str, q, k, v, n_frames, tokens_per_frame, interpret):
+    """q, k, v: (b, heads, S, d). The splash kernel does NOT scale logits;
+    pre-scale q by 1/sqrt(d) to match scaled_dot_product semantics."""
+    b, h, s, d = q.shape
+    kernel = _make_kernel(kind, h, n_frames, tokens_per_frame, interpret)
+    qs = (q * (1.0 / np.sqrt(d))).astype(q.dtype)
+    return jax.vmap(kernel)(qs, k, v)
+
+
+def dart_attention(q, k, v, n_frames: int, tokens_per_frame: int,
+                   interpret: bool = False):
+    """DART-masked flash attention over the 2T-frame concat.
+    q, k, v: (b, heads, 2*T*hw, d)."""
+    return _apply("dart", q, k, v, n_frames, tokens_per_frame, interpret)
+
+
+def causal_frame_attention(q, k, v, n_frames: int, tokens_per_frame: int,
+                           interpret: bool = False):
+    """Frame-causal flash attention (prefill). q,k,v: (b, heads, T*hw, d)."""
+    return _apply("causal", q, k, v, n_frames, tokens_per_frame, interpret)
+
+
+def flash_supported(seq_len: int, head_dim: int) -> bool:
+    """Conservative gate: splash needs TPU-tileable shapes; tiny CPU test
+    shapes fall back to the dense path. AD_TPU_FLASH=0 disables, =1 forces
+    (benchmarking)."""
+    import os
+    env = os.environ.get("AD_TPU_FLASH")
+    if env == "0":
+        return False
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not (on_tpu and seq_len % 128 == 0 and head_dim >= 32):
+        return False
+    if env == "1":
+        return True
+    # XLA's fused dense attention wins below ~4k tokens on v5e (measured);
+    # the flash kernel's value is O(S) memory at long context.
+    return seq_len >= 4096

@@ -1,0 +1,113 @@
+"""SPMD parallelism over TPU meshes.
+
+The reference scales with DDP-over-NCCL only (/root/reference/cs_train.py:
+53-54, 164-174; SURVEY.md section 2.7). The TPU-native equivalent is a
+('data', 'model') jax.sharding.Mesh:
+
+  * data parallelism  -> batch axis sharded over 'data' (the mean loss over
+    the global batch makes XLA emit the gradient all-reduce over ICI; no
+    no_sync/allreduce plumbing),
+  * tensor parallelism -> magnitude-preserving conv/dense kernels sharded on
+    their OUTPUT channel axis over 'model'; attention heads follow the
+    channel sharding, so the DART attention is head-sharded (a form of
+    sequence-parallel work splitting across the 2T-frame concat),
+  * rank-conditional work (loss-fit history, checkpoints, dashboards) ->
+    jax.process_index() == 0.
+
+Multi-slice scaling (DCN) uses the same API with a larger mesh; collectives
+ride ICI within a slice by construction because 'model' is the minor mesh
+axis.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(tp: int = 1, devices=None) -> Mesh:
+    """('data', 'model') mesh with `tp`-way tensor parallelism; 'model' is
+    the minor (fastest/ICI-nearest) axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    arr = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params, min_shard_size: int = 128):
+    """NamedSharding tree for a parameter pytree: shard the output-channel
+    (last) axis of every >=2D 'w'/'kernel' weight over 'model' when it
+    divides evenly and is large enough; replicate everything else."""
+    tp = mesh.shape["model"]
+
+    def rule(path, p):
+        name = None
+        for e in reversed(path):
+            if isinstance(e, jax.tree_util.DictKey):
+                name = e.key
+                break
+        if (tp > 1 and name in ("w", "kernel") and p.ndim >= 2
+                and p.shape[-1] % tp == 0 and p.shape[-1] >= min_shard_size):
+            spec = [None] * (p.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_train_state(state, mesh: Mesh, min_shard_size: int = 128):
+    """Place a TrainState on the mesh: params/EMA/opt-state sharded by the
+    param rule, scalars/coefs replicated."""
+    p_shard = param_sharding(mesh, state.params, min_shard_size)
+    rep = replicated(mesh)
+
+    state_shardings = state.replace(
+        step=rep,
+        params=p_shard,
+        buffers=jax.tree.map(lambda _: rep, state.buffers),
+        opt_state=_match_params(state.opt_state, state.params, p_shard, rep),
+        ema=tuple(p_shard for _ in state.ema),
+        coefs=rep,
+    )
+    return jax.device_put(state, state_shardings), state_shardings
+
+
+def _match_params(opt_state, params, p_shard, rep):
+    """Shard optimizer-state leaves that mirror the param tree (Adam m/v)
+    like the params; everything else replicated."""
+    flat_params, treedef = jax.tree_util.tree_flatten(params)
+
+    def rule(leaf):
+        return rep
+
+    # optax states contain whole param-shaped subtrees; detect by structure
+    def map_state(s):
+        try:
+            if jax.tree_util.tree_structure(s) == treedef:
+                return p_shard
+        except Exception:
+            pass
+        return None
+
+    def recurse(s):
+        m = map_state(s)
+        if m is not None:
+            return m
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(recurse(x) for x in s)
+        if hasattr(s, "_fields"):  # NamedTuple (optax states)
+            return type(s)(*(recurse(getattr(s, f)) for f in s._fields))
+        return jax.tree.map(rule, s)
+
+    return recurse(opt_state)

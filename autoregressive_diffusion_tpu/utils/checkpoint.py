@@ -1,0 +1,141 @@
+"""Checkpointing.
+
+Two mechanisms, mirroring the reference (SURVEY.md section 5):
+  1. kwargs-bundle model checkpoints (`save_model` / `load_model`): a
+     msgpack file holding {kwargs, variables} so a model can be rebuilt
+     without its config -- the TPU equivalent of BetterModule
+     save_to_state_dict / from_pretrained (/root/reference/edm2/utils.py:
+     13-64). Remote object-store paths (gs:// / s3://) are supported when the
+     relevant client library is installed, with a /tmp cache like the
+     reference.
+  2. full train-state checkpoints via Orbax (async, sharding-aware) for
+     resumable training (`save_train_state` / `restore_train_state` /
+     `latest_step`), replacing the torch.save optimizer bundles
+     (gym_train.py:132-141).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+_CACHE_DIR = "/tmp/cache/autoregressive_diffusion_models/"
+
+
+def _fetch_remote(path: str) -> str:
+    """Download s3://... or gs://... to the local cache (reference
+    utils.py:39-57)."""
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    local = os.path.join(_CACHE_DIR, os.path.basename(path))
+    if os.path.exists(local):
+        return local
+    if path.startswith("s3://"):
+        import boto3  # optional dependency
+        from urllib.parse import urlparse
+        p = urlparse(path)
+        boto3.client("s3").download_file(p.netloc, p.path.lstrip("/"), local)
+    elif path.startswith("gs://"):
+        from google.cloud import storage  # optional dependency
+        from urllib.parse import urlparse
+        p = urlparse(path)
+        storage.Client().bucket(p.netloc).blob(
+            p.path.lstrip("/")).download_to_filename(local)
+    else:
+        raise ValueError(f"unknown remote scheme: {path}")
+    return local
+
+
+def _push_remote(local: str, path: str):
+    if path.startswith("s3://"):
+        import boto3
+        from urllib.parse import urlparse
+        p = urlparse(path)
+        boto3.client("s3").upload_file(local, p.netloc, p.path.lstrip("/"))
+    elif path.startswith("gs://"):
+        from google.cloud import storage
+        from urllib.parse import urlparse
+        p = urlparse(path)
+        storage.Client().bucket(p.netloc).blob(
+            p.path.lstrip("/")).upload_from_filename(local)
+    else:
+        raise ValueError(f"unknown remote scheme: {path}")
+
+
+def save_model(path: str, kwargs: Dict[str, Any], variables) -> None:
+    """Write a {kwargs, variables} bundle. kwargs must be JSON-serializable
+    (the constructor knob set, mirroring the reference's self-recorded
+    ctor kwargs, networks_edm2.py:186-189)."""
+    payload = {
+        b"kwargs": json.dumps(kwargs).encode(),
+        b"variables": serialization.to_bytes(
+            jax.tree.map(np.asarray, variables)),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    if path.startswith(("s3://", "gs://")):
+        with tempfile.NamedTemporaryFile(delete=False) as tmp:
+            tmp.write(blob)
+        _push_remote(tmp.name, path)
+        os.remove(tmp.name)
+    else:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(blob)
+
+
+def load_model(path: str, template=None):
+    """Returns (kwargs, variables). If `template` (a variables pytree) is
+    given, the stored arrays are restored onto its exact structure/dtypes."""
+    if path.startswith(("s3://", "gs://")):
+        path = _fetch_remote(path)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    kwargs = json.loads(payload[b"kwargs"].decode())
+    raw = payload[b"variables"]
+    if template is not None:
+        variables = serialization.from_bytes(template, raw)
+    else:
+        variables = serialization.msgpack_restore(raw)
+    return kwargs, variables
+
+
+# ---------------------------------------------------------------------------
+# Orbax train-state checkpoints
+
+def _ckpt_dir(path: str) -> str:
+    return os.path.abspath(path)
+
+
+def save_train_state(ckpt_dir: str, step: int, state, extra: Optional[dict] = None):
+    import orbax.checkpoint as ocp
+    path = os.path.join(_ckpt_dir(ckpt_dir), f"step_{step:09d}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, dict(state=jax.tree.map(np.asarray, state),
+                              extra=extra or {}), force=True)
+
+
+def restore_train_state(ckpt_dir: str, step: int, state_template,
+                        extra_template: Optional[dict] = None):
+    import orbax.checkpoint as ocp
+    path = os.path.join(_ckpt_dir(ckpt_dir), f"step_{step:09d}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        out = ckptr.restore(path, item=dict(state=state_template,
+                                            extra=extra_template or {}))
+    return out["state"], out["extra"]
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    """Regex scan for the newest checkpoint (reference
+    torch_utils/distributed.py:118-139 CheckpointIO.load_latest)."""
+    d = _ckpt_dir(ckpt_dir)
+    if not os.path.isdir(d):
+        return None
+    steps = [int(m.group(1)) for n in os.listdir(d)
+             if (m := re.fullmatch(r"step_(\d+)", n))]
+    return max(steps) if steps else None

@@ -1,0 +1,80 @@
+"""Benchmark: DART training throughput of the flagship LunarLander denoiser
+on the available accelerator (one TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference trains gym_train.py on one RTX 4090 at ~14.8
+samples/s (80k microbatch steps x 8 samples in the ~12 h loss-curve run,
+/root/reference/README.md:150, gym_train.py:55-62). Driver target is >=1.5x
+per TPU v5e chip (BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SAMPLES_PER_SEC = 14.8  # RTX 4090, reference gym training
+
+
+def main():
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+    from autoregressive_diffusion_tpu.train import (EDM2LossConfig,
+                                                    create_train_state,
+                                                    make_optimizer,
+                                                    make_train_step)
+
+    # flagship gym config (reference gym_train.py:37-47, :55-62):
+    # latents 64x64x8, micro-batch 8, state_size 32 -> 8 latent frames
+    cfg = UNetConfig(img_resolution=64, img_channels=8, label_dim=4,
+                     model_channels=32, channel_mult=(1, 2, 4, 8),
+                     num_blocks=2, video_attn_resolutions=(8,),
+                     frame_attn_resolutions=(16,), max_frames=64)
+    model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
+    b, t = 8, 8
+
+    x0 = jnp.zeros((b, 2 * t, 64, 64, 8))
+    variables = jax.jit(model.init, static_argnames=("mode",))(
+        jax.random.PRNGKey(0), x0, jnp.ones((b, 2 * t)),
+        jnp.zeros((b, 2 * t), jnp.int32), mode="train")
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    print(f"# flagship UNet: {n_params/1e6:.1f}M params on "
+          f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
+          file=sys.stderr)
+
+    tx = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, EDM2LossConfig(
+        P_mean=1.2, P_std=1.0, context_noise_reduction=0.5), tx,
+        batch_size=b), static_argnames=("just_2d",), donate_argnums=(0,))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (b, t, 64, 64, 8))
+    cond = jnp.zeros((b, t), jnp.int32)
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, images, cond, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, images, cond, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = b * n_steps / dt
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

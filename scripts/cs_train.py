@@ -1,0 +1,140 @@
+"""Counter-Strike latent diffusion training, multi-chip data-parallel.
+
+Mirrors /root/reference/cs_train.py:31-175: streaming pre-encoded VAE
+latents, UNet(img_resolution=32, img_channels=8, model_channels=128,
+channel_mult=[1,2,4,4], video@4, frame@8), EDM2Loss(P_mean=0.9, P_std=1.0,
+context_noise_reduction=0.1), micro-batch accumulation, periodic loss-fit.
+
+TPU-native distribution (SURVEY.md section 2.7): instead of
+torchrun/DDP/NCCL, the batch is sharded over the 'data' axis of a
+('data','model') mesh; XLA emits the gradient all-reduce over ICI.
+Process-0-only work (loss-fit history, checkpoints) is guarded by
+jax.process_index(). Launch with no wrapper: `python scripts/cs_train.py`.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40_000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--micro-batch", type=int, default=2)
+    ap.add_argument("--clip-size", type=int, default=64, help="latent frames")
+    ap.add_argument("--shards", default=None,
+                    help="local .npz latent shard dir (cs_data.py)")
+    ap.add_argument("--tp", type=int, default=1, help="tensor parallelism")
+    ap.add_argument("--lat-mean", type=float, default=0.0)
+    ap.add_argument("--lat-std", type=float, default=1.0)
+    ap.add_argument("--ckpt-dir", default="saved_models_cs")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--ref-lr", type=float, default=1e-2)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="random latents (pipeline smoke test)")
+    args = ap.parse_args()
+
+    from autoregressive_diffusion_tpu.data import (LocalLatentShards,
+                                                   batched_latents)
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+    from autoregressive_diffusion_tpu.parallel import (batch_sharding,
+                                                       create_mesh,
+                                                       replicated,
+                                                       shard_train_state)
+    from autoregressive_diffusion_tpu.train import (
+        EDM2LossConfig, MultiNoiseState, create_train_state,
+        learning_rate_schedule, make_optimizer, make_train_step)
+    from autoregressive_diffusion_tpu.utils import (latest_step,
+                                                    restore_train_state,
+                                                    save_train_state)
+
+    # reference cs_train.py:35-45
+    cfg = UNetConfig(img_resolution=32, img_channels=8, label_dim=0,
+                     model_channels=128, channel_mult=(1, 2, 4, 4),
+                     num_blocks=3, video_attn_resolutions=(4,),
+                     frame_attn_resolutions=(8,), max_frames=128)
+    model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
+
+    mesh = create_mesh(tp=args.tp)
+    print(f"# mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    b, t = args.batch, args.clip_size
+    x0 = jnp.zeros((b, 2 * t, 32, 32, 8))
+    variables = jax.jit(model.init, static_argnames=("mode",))(
+        jax.random.PRNGKey(0), x0, jnp.ones((b, 2 * t)), mode="train")
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    print(f"# UNet: {n_params/1e6:.1f}M params")
+
+    sched = lambda s: learning_rate_schedule(s, args.ref_lr, args.steps / 50,
+                                             args.steps / 50)
+    tx = make_optimizer(learning_rate=sched, grad_clip=0.1)
+    state = create_train_state(model, variables, tx)
+    state, shardings = shard_train_state(state, mesh)
+
+    loss_cfg = EDM2LossConfig(P_mean=0.9, P_std=1.0, sigma_data=1.0,
+                              context_noise_reduction=0.1)
+    step_fn = jax.jit(
+        make_train_step(model, loss_cfg, tx, batch_size=b,
+                        microbatch=args.micro_batch),
+        static_argnames=("just_2d",),
+        in_shardings=(shardings, batch_sharding(mesh), replicated(mesh)),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,))
+
+    start = 0
+    if args.resume and (ls := latest_step(args.ckpt_dir)) is not None:
+        state, _ = restore_train_state(args.ckpt_dir, ls, jax.device_get(state))
+        state, _ = shard_train_state(state, mesh)
+        start = int(state.step)
+        print(f"# resumed at step {start}")
+
+    if args.synthetic or args.shards is None:
+        print("# synthetic latents (smoke mode)")
+        rng = np.random.default_rng(0)
+
+        def synth():
+            while True:
+                yield {"latents": rng.normal(size=(b, t, 32, 32, 8)).astype(np.float32)}
+        loader = synth()
+    else:
+        ds = LocalLatentShards(args.shards, clip_size=t)
+        loader = batched_latents(ds, b, normalize=(args.lat_mean, args.lat_std))
+
+    noise_state = MultiNoiseState()
+    is_p0 = jax.process_index() == 0
+    key = jax.random.PRNGKey(7)
+    losses = []
+    t0 = time.time()
+    for i, batch in enumerate(loader, start=start):
+        if i >= args.steps:
+            break
+        latents = jax.device_put(jnp.asarray(batch["latents"]),
+                                 batch_sharding(mesh))
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, latents, None, k)
+        if is_p0:
+            noise_state.add_data(metrics["sigma"], metrics["losses"])
+            losses.append(float(metrics["unweighted"]))
+        if i % 20 == 0 and is_p0:
+            print(f"step {i}: loss={np.mean(losses[-20:]):.4f} "
+                  f"{b*(i+1-start)/(time.time()-t0):.2f} samples/s", flush=True)
+        if i % 500 == 0 and i > start:
+            # rank-0 fit, replicated coefficients (the dist.broadcast
+            # equivalent, reference loss_weight.py:122-149)
+            coefs = jnp.asarray(noise_state.fit())
+            state = state.replace(coefs=jax.device_put(coefs, replicated(mesh)))
+        if i % 2000 == 0 and i > start and is_p0:
+            save_train_state(args.ckpt_dir, int(state.step),
+                             jax.device_get(state), {"losses": losses})
+            print("# checkpoint saved")
+
+
+if __name__ == "__main__":
+    main()

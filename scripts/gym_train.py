@@ -1,0 +1,159 @@
+"""LunarLander world-model diffusion training (single chip).
+
+Mirrors /root/reference/gym_train.py:29-146 knob-for-knob: frozen VAE
+latents, UNet(model_channels=32, channel_mult=[1,2,4,8], num_blocks=2,
+label_dim=4, video@8, frame@16), EDM2Loss(P_mean=1.2, P_std=1,
+context_noise_reduction=0.5), AdamW(lr 1e-2, eps 1e-8) + grad clip 0.1,
+just_2d every 4th step, power-function EMA per optimizer step, inverse-sqrt
+LR schedule with rampup total/50, dashboard + resumable checkpoints.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=80_000)
+    ap.add_argument("--micro-batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--state-size", type=int, default=32)
+    ap.add_argument("--env", default="LunarLander-v3")
+    ap.add_argument("--vae", default=None, help="VAE kwargs-bundle checkpoint")
+    ap.add_argument("--vae-std", type=float, default=1.45,
+                    help="latent std override (reference gym_train.py:34)")
+    ap.add_argument("--ckpt-dir", default="saved_models")
+    ap.add_argument("--out-dir", default="images_training")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="synthetic moving-square data instead of gym")
+    ap.add_argument("--ref-lr", type=float, default=1e-2)
+    args = ap.parse_args()
+
+    from autoregressive_diffusion_tpu.data import (GymDataGenerator,
+                                                   SyntheticVideoGenerator,
+                                                   batched)
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+    from autoregressive_diffusion_tpu.models.vae import (VAE, VAEConfig,
+                                                         frames_to_latents)
+    from autoregressive_diffusion_tpu.train import (
+        EDM2LossConfig, MultiNoiseState, create_train_state,
+        learning_rate_schedule, make_optimizer, make_train_step)
+    from autoregressive_diffusion_tpu.utils import (latest_step, load_model,
+                                                    restore_train_state,
+                                                    save_model,
+                                                    save_train_state)
+    from autoregressive_diffusion_tpu.utils.plotting import \
+        plot_training_dashboard
+
+    # ---- frozen VAE (reference gym_train.py:33-34)
+    if args.vae:
+        vae_kwargs, vae_vars = load_model(args.vae)
+        vae_cfg = VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
+                               for k, v in vae_kwargs.items()})
+    else:
+        print("# no --vae given: using a fresh frozen random VAE (smoke mode)")
+        vae_cfg = VAEConfig(channels=(3, 8, 8, 8), n_res_blocks=2,
+                            time_compressions=(1, 2, 2),
+                            spatial_compressions=(1, 2, 2))
+        vae = VAE(vae_cfg)
+        vae_vars = jax.jit(vae.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 4, 64, 64, 3)))
+    vae = VAE(vae_cfg)
+    lat_mean = jnp.zeros((vae_cfg.latent_channels,))
+    lat_std = jnp.asarray(args.vae_std)
+
+    frame_size = 256 if not args.synthetic else 64
+    lat_res = frame_size // vae_cfg.spatial_compression
+    unet_cfg = UNetConfig(
+        img_resolution=lat_res, img_channels=vae_cfg.latent_channels,
+        label_dim=4, model_channels=32, channel_mult=(1, 2, 4, 8),
+        num_blocks=2, video_attn_resolutions=(8,),
+        frame_attn_resolutions=(16,), max_frames=64)
+    model = Precond(unet_cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
+
+    t_lat = args.state_size // vae_cfg.time_compression
+    x0 = jnp.zeros((1, 2 * t_lat, lat_res, lat_res, vae_cfg.latent_channels))
+    variables = jax.jit(model.init, static_argnames=("mode",))(
+        jax.random.PRNGKey(42), x0, jnp.ones((1, 2 * t_lat)),
+        jnp.zeros((1, 2 * t_lat), jnp.int32), mode="train")
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    print(f"# UNet: {n_params/1e6:.1f}M params, latents "
+          f"{lat_res}x{lat_res}x{vae_cfg.latent_channels}, T={t_lat}")
+
+    # ---- optimizer / state (reference gym_train.py:69-83, :111)
+    accumulation = args.batch // args.micro_batch
+    sched = lambda step: learning_rate_schedule(
+        step, args.ref_lr, args.steps / 50, args.steps / 50)
+    tx = make_optimizer(learning_rate=sched, grad_clip=0.1)
+    state = create_train_state(model, variables, tx)
+    loss_cfg = EDM2LossConfig(P_mean=1.2, P_std=1.0, sigma_data=1.0,
+                              context_noise_reduction=0.5)
+    step_fn = jax.jit(
+        make_train_step(model, loss_cfg, tx, batch_size=args.batch,
+                        microbatch=args.micro_batch),
+        static_argnames=("just_2d",), donate_argnums=(0,))
+
+    noise_state = MultiNoiseState()
+    losses_history = []
+    start = 0
+    if args.resume and (ls := latest_step(args.ckpt_dir)) is not None:
+        state, extra = restore_train_state(args.ckpt_dir, ls, state,
+                                           {"losses": losses_history})
+        losses_history = list(extra.get("losses", []))
+        start = int(state.step)
+        print(f"# resumed at optimizer step {start}")
+
+    # ---- data (reference gym_train.py:61-62)
+    if args.synthetic:
+        gen = SyntheticVideoGenerator(args.state_size, frame_size, 4,
+                                      vae_cfg.time_compression, args.steps * 2)
+    else:
+        gen = GymDataGenerator(args.state_size, args.env, args.steps * 2,
+                               vae_cfg.time_compression, return_anyways=False,
+                               frame_size=frame_size)
+    loader = batched(gen, args.batch, num_workers=args.micro_batch)
+
+    encode = jax.jit(lambda v, f: frames_to_latents(vae, v, f, lat_mean, lat_std))
+
+    key = jax.random.PRNGKey(1234)
+    t_start = time.time()
+    for i, (frames, actions, _) in enumerate(loader, start=start):
+        if i >= args.steps:
+            break
+        latents = encode(vae_vars, jnp.asarray(frames, jnp.float32))
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, latents, jnp.asarray(actions), k,
+                                 just_2d=(i % 4 == 0))
+        noise_state.add_data(metrics["sigma"], metrics["losses"])
+        losses_history.append(float(metrics["unweighted"]))
+
+        if i % 50 == 0:
+            sps = args.batch * (i + 1 - start) / (time.time() - t_start)
+            print(f"step {i}: loss={np.mean(losses_history[-accumulation:]):.4f} "
+                  f"lr={float(sched(i)):.6f} {sps:.1f} samples/s", flush=True)
+        if i % 500 == 0 and i > start:
+            state = state.replace(coefs=jnp.asarray(noise_state.fit()))
+            plot_training_dashboard(
+                os.path.join(args.out_dir, f"dashboard_step_{i}.png"),
+                losses_history, i, noise_state, np.asarray(state.coefs),
+                unet_params=n_params)
+        if i % max(args.steps // 40, 1) == 0 and i > start:
+            save_model(os.path.join(args.ckpt_dir, f"unet_{n_params//10**6}M.ad"),
+                       dict(unet_cfg.__dict__),
+                       {"params": jax.device_get(state.params),
+                        "buffers": jax.device_get(state.buffers)})
+            save_train_state(args.ckpt_dir, int(state.step), jax.device_get(state),
+                             {"losses": losses_history})
+            print(f"# checkpoint at step {i}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""LunarLander VAE + adversarial discriminator training.
+
+Mirrors /root/reference/gym_vae_train.py:21-118: VAE(channels=[3,8,8,8],
+n_res_blocks=2, spatial=[1,2,2]), losses = worst-0.2%-pixel MSE + group-KL
+* 1e-3 + hinged adversarial (2e-5 * relu(CE-1)^2), dual AdamW (disc lr
+* 8e-2) with exponential decay to 0.1x over the run, grad clip 1.0.
+
+Divergence note: the reference script is stale w.r.t. its own VAE (it
+unpacks (recon, mean, logvar, _) but vae.py returns (r_mean, r_logvar,
+mean, cache), gym_vae_train.py:18-19 imports a removed symbol). This script
+implements the intended training against the CURRENT VAE API: the group-KL
+regularizes the latent mean statistics toward N(0,1); there is no per-sample
+latent logvar in the noise-augmented-decode VAE.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--state-size", type=int, default=32)
+    ap.add_argument("--env", default="LunarLander-v3")
+    ap.add_argument("--frame-size", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--ckpt-dir", default="saved_models")
+    ap.add_argument("--synthetic", action="store_true")
+    args = ap.parse_args()
+
+    from autoregressive_diffusion_tpu.data import (GymDataGenerator,
+                                                   SyntheticVideoGenerator,
+                                                   batched)
+    from autoregressive_diffusion_tpu.models.discriminator import \
+        MixedDiscriminator
+    from autoregressive_diffusion_tpu.models.vae import (VAE, VAEConfig,
+                                                         worst_k_percent_loss)
+    from autoregressive_diffusion_tpu.utils import save_model
+
+    vae_cfg = VAEConfig(channels=(3, 8, 8, 8), n_res_blocks=2,
+                        time_compressions=(1, 2, 2),
+                        spatial_compressions=(1, 2, 2))
+    vae = VAE(vae_cfg)
+    disc = MixedDiscriminator()
+
+    t = args.state_size
+    x0 = jnp.zeros((1, 8, args.frame_size, args.frame_size, 3))
+    vae_vars = jax.jit(vae.init)(jax.random.PRNGKey(0), x0,
+                                 key=jax.random.PRNGKey(1))
+    disc_vars = jax.jit(disc.init)(jax.random.PRNGKey(2),
+                                   jnp.zeros((1, 8, args.frame_size,
+                                              args.frame_size, 3)))
+    print(f"# VAE params: "
+          f"{sum(p.size for p in jax.tree.leaves(vae_vars['params']))/1e3:.0f}K")
+
+    gamma = 0.1 ** (1 / args.steps)  # decay to 0.1x (reference :58)
+    sched = lambda lr0: (lambda s: lr0 * gamma**s)
+    tx_vae = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adamw(sched(args.lr), eps=1e-8))
+    tx_disc = optax.chain(optax.clip_by_global_norm(1.0),
+                          optax.adamw(sched(args.lr * 8e-2), eps=1e-8))
+    opt_vae = tx_vae.init(vae_vars["params"])
+    opt_disc = tx_disc.init(disc_vars["params"])
+
+    def vae_loss_fn(vp, dv, frames, key):
+        variables = dict(vae_vars, params=vp)
+        r_mean, r_logvar, mean = vae.apply(variables, frames, key=key)
+        recon = worst_k_percent_loss(r_mean, frames, percent=0.2)
+        # group-KL on latent statistics (intended semantics, see docstring)
+        group_var = jnp.var(mean, axis=(0, 1, 2, 3)) + 1e-8
+        group_mean = jnp.mean(mean, axis=(0, 1, 2, 3))
+        kl_group = -0.5 * jnp.sum(1 + jnp.log(group_var)
+                                  - group_mean**2 - group_var)
+        # hinged adversarial loss (reference :88-93)
+        logits = disc.apply(dv, jnp.concatenate([r_mean, r_mean], axis=-1),
+                            False)
+        ce = -jax.nn.log_softmax(logits, axis=-1)[..., 1] / np.log(2)
+        adv = 2e-5 * jnp.mean(jax.nn.relu(ce - 1) ** 2)
+        loss = recon + kl_group * 1e-3 + adv
+        return loss, dict(recon=recon, kl_group=kl_group, adv=jnp.mean(ce))
+
+    def disc_loss_fn(dp, frames, recon):
+        from autoregressive_diffusion_tpu.models.discriminator import \
+            discriminator_loss
+        dv = dict(disc_vars, params=dp)
+        loss, mutated = discriminator_loss(disc, dv, frames, recon, train=True)
+        return loss, mutated
+
+    @jax.jit
+    def step(vp, opt_v, dp, opt_d, dvars, frames, key):
+        (l, aux), gv = jax.value_and_grad(vae_loss_fn, has_aux=True)(
+            vp, dict(dvars, params=dp), frames, key)
+        upd, opt_v = tx_vae.update(gv, opt_v, vp)
+        vp = optax.apply_updates(vp, upd)
+
+        r_mean, _, _ = vae.apply(dict(vae_vars, params=vp), frames)
+        (dl, mutated), gd = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            dp, frames, jax.lax.stop_gradient(r_mean))
+        upd_d, opt_d = tx_disc.update(gd, opt_d, dp)
+        dp = optax.apply_updates(dp, upd_d)
+        new_dvars = dict(dvars, params=dp, **mutated)
+        return vp, opt_v, dp, opt_d, new_dvars, l, aux, dl
+
+    if args.synthetic:
+        gen = SyntheticVideoGenerator(t, args.frame_size, 4, 4, args.steps * 2)
+    else:
+        gen = GymDataGenerator(t, args.env, args.steps * 2, 4,
+                               frame_size=args.frame_size)
+    loader = batched(gen, args.batch, num_workers=4)
+
+    vp, dp = vae_vars["params"], disc_vars["params"]
+    dvars = disc_vars
+    key = jax.random.PRNGKey(3)
+    t0 = time.time()
+    for i, (frames, _, _) in enumerate(loader):
+        if i >= args.steps:
+            break
+        f = jnp.asarray(frames, jnp.float32) / 127.5 - 1
+        key, k = jax.random.split(key)
+        vp, opt_vae, dp, opt_disc, dvars, l, aux, dl = step(
+            vp, opt_vae, dp, opt_disc, dvars, f, k)
+        if i % 20 == 0:
+            print(f"step {i}: recon={float(aux['recon']):.4f} "
+                  f"kl_group={float(aux['kl_group']):.3f} "
+                  f"adv={float(aux['adv']):.3f} disc={float(dl):.3f} "
+                  f"({args.batch*(i+1)/(time.time()-t0):.2f} clips/s)",
+                  flush=True)
+        if i % 500 == 0 and i > 0:
+            save_model(os.path.join(args.ckpt_dir, "vae_lunar_lander.ad"),
+                       dict(vae_cfg.__dict__),
+                       {**vae_vars, "params": jax.device_get(vp)})
+            print("# saved VAE checkpoint")
+
+
+if __name__ == "__main__":
+    main()

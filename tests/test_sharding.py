@@ -1,0 +1,83 @@
+"""Multi-chip SPMD: sharded train step on an 8-device host mesh (dp=4 x
+tp=2). The reference never tests multi-node (SURVEY.md section 4); here the
+sharded step must (a) run, (b) match the single-device step numerically."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+from autoregressive_diffusion_tpu.parallel import (batch_sharding,
+                                                   create_mesh,
+                                                   param_sharding,
+                                                   replicated,
+                                                   shard_train_state)
+from autoregressive_diffusion_tpu.train import (EDM2LossConfig,
+                                                create_train_state,
+                                                make_optimizer,
+                                                make_train_step)
+
+CFG = UNetConfig(img_resolution=8, img_channels=4, label_dim=0,
+                 model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                 video_attn_resolutions=(4,), frame_attn_resolutions=(8,),
+                 channels_per_head=16, max_frames=8)
+B, T = 8, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 host devices"
+    model = Precond(CFG, sigma_data=1.0)
+    x = jnp.zeros((B, 2 * T, 8, 8, 4))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.ones((B, 2 * T)),
+                           mode="train")
+    tx = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, EDM2LossConfig(), tx, batch_size=B)
+    return model, tx, state, step
+
+
+def test_sharded_step_matches_single_device(setup):
+    model, tx, state, step = setup
+    images = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8, 8, 4))
+    key = jax.random.PRNGKey(2)
+
+    # single-device baseline
+    ref_state, ref_metrics = jax.jit(step, static_argnames=("just_2d",))(
+        state, images, None, key)
+
+    # dp=4 x tp=2 mesh
+    mesh = create_mesh(tp=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    sharded_state, state_shardings = shard_train_state(state, mesh,
+                                                       min_shard_size=32)
+    # at least one weight is actually split over 'model'
+    p = sharded_state.params["unet"]["enc_8x8_block0"]["attn"]["attn_qkv"]["w"]
+    assert not p.sharding.is_fully_replicated
+
+    images_s = jax.device_put(images, batch_sharding(mesh))
+    step_j = jax.jit(step, static_argnames=("just_2d",),
+                     in_shardings=(state_shardings, batch_sharding(mesh),
+                                   None, replicated(mesh)),
+                     out_shardings=(state_shardings, None))
+    new_state, metrics = step_j(sharded_state, images_s, None,
+                                jax.device_put(key, replicated(mesh)))
+
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
+    # updated params agree with the single-device step
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     new_state.params, ref_state.params)
+    assert max(jax.tree.leaves(d)) < 2e-4
+
+
+def test_param_sharding_rule():
+    mesh = create_mesh(tp=2)
+    params = {"a": {"w": jnp.zeros((3, 3, 16, 64))},
+              "g": jnp.zeros(()),
+              "small": {"w": jnp.zeros((4, 2))}}
+    sh = param_sharding(mesh, params, min_shard_size=32)
+    assert sh["a"]["w"].spec == jax.sharding.PartitionSpec(None, None, None, "model")
+    assert sh["g"].spec == jax.sharding.PartitionSpec()
+    assert sh["small"]["w"].spec == jax.sharding.PartitionSpec()
