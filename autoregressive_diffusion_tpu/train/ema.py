@@ -79,3 +79,15 @@ def ema_update(ema_params, params, beta):
 def init_ema(params, stds=(0.050, 0.100)):
     """Deep copies of params, one per EMA std (phema.py:92-95)."""
     return tuple(jax.tree.map(jnp.array, params) for _ in stds)
+
+
+def traditional_ema_beta(cur_nimg, batch_size, halflife_Mimg=float("inf"),
+                         rampup_ratio=0.09):
+    """Classic half-life EMA decay with rampup (reference phema.py:128-148,
+    `TraditionalEMA.update`): `beta = 0.5 ** (batch/halflife_imgs)` with the
+    halflife ramped as `min(halflife, nimg * rampup_ratio)`. Use together
+    with `ema_update`; works on traced scalars inside a jitted step."""
+    halflife = halflife_Mimg
+    if rampup_ratio is not None:
+        halflife = jnp.minimum(halflife, cur_nimg / 1e6 * rampup_ratio)
+    return 0.5 ** (batch_size / jnp.maximum(halflife * 1e6, 1e-8))

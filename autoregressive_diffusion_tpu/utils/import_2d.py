@@ -1,0 +1,155 @@
+"""Import NVIDIA EDM2 *2D* image-denoiser checkpoints into the 3D video UNet.
+
+TPU-native rebuild of the reference's bootstrap path
+(/root/reference/edm2/networks_edm2.py:238-258 `UNet.load_from_2d`,
+edm2/conv.py:96-101, test.py:19-91): a pretrained 2D EDM2 UNet seeds the
+video model -- every 2D conv weight lands in the corresponding
+`last_frame_conv`, attention qkv/proj and embeddings copy over directly, and
+the temporal-context 3D convs keep their fresh init (the Gating params start
+at sigmoid(-5) ~= 0.007, so the imported model initially behaves as the 2D
+model on every frame; `just_2d=True` reproduces it exactly).
+
+Input is a flat `{name: np.ndarray}` dict in the NVIDIA EDM2 naming scheme
+(`enc.64x64_block0.conv_res0.weight`, `emb_fourier.freqs`, `out_gain`, ...)
+-- what `state_dict()` of the upstream 2D UNet contains. Use
+`torch_state_dict_to_numpy` to convert a loaded torch checkpoint.
+
+Layout conversions (torch -> Flax, channels-last):
+  conv2d  (O, I, kh, kw) -> (kh, kw, I, O)
+  dense   (O, I)         -> (I, O)
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+
+
+def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
+    """Detach a torch state dict to numpy (torch is an optional dependency)."""
+    return {k: np.asarray(v.detach().cpu().float().numpy())
+            for k, v in state_dict.items()}
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    assert w.ndim == 4, f"expected OIHW conv weight, got {w.shape}"
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_w(w: np.ndarray) -> np.ndarray:
+    assert w.ndim == 2, f"expected (out, in) dense weight, got {w.shape}"
+    return np.transpose(w)
+
+
+def _set(tree: dict, path, value, target_shape=None):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    old = node[path[-1]]
+    value = np.asarray(value, dtype=np.float32)
+    if value.shape != old.shape:
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                         f"checkpoint {value.shape} vs model {old.shape}")
+    node[path[-1]] = value.astype(old.dtype) if hasattr(old, "dtype") else value
+
+
+def _import_causal_conv(params: dict, sd: Dict[str, np.ndarray], prefix: str):
+    """2D conv weight -> last_frame_conv of an MPCausalConv3d
+    (reference conv.py:96-101)."""
+    _set(params, ("last_frame_conv", "w"), _conv_w(sd[prefix + ".weight"]))
+
+
+def _import_block(params: dict, sd: Dict[str, np.ndarray], prefix: str):
+    """Reference networks_edm2.py:95-110 Block.load_from_2d."""
+    _import_causal_conv(params["conv_res0"], sd, prefix + ".conv_res0")
+    _import_causal_conv(params["conv_res1"], sd, prefix + ".conv_res1")
+    if prefix + ".conv_skip.weight" in sd:
+        _set(params, ("conv_skip", "w"), _conv_w(sd[prefix + ".conv_skip.weight"]))
+    if prefix + ".emb_linear.weight" in sd:
+        _set(params, ("emb_linear", "w"), _dense_w(sd[prefix + ".emb_linear.weight"]))
+    if prefix + ".emb_gain" in sd:
+        _set(params, ("emb_gain",), sd[prefix + ".emb_gain"].reshape(()))
+    if prefix + ".attn_qkv.weight" in sd:
+        _set(params, ("attn", "attn_qkv", "w"), _conv_w(sd[prefix + ".attn_qkv.weight"]))
+        _set(params, ("attn", "attn_proj", "w"), _conv_w(sd[prefix + ".attn_proj.weight"]))
+
+
+def import_torch_edm2(variables, sd: Dict[str, np.ndarray], cfg):
+    """Returns a copy of `variables` with all 2D-derivable weights replaced
+    by the NVIDIA EDM2 2D checkpoint `sd` (reference networks_edm2.py:239-258).
+
+    `variables` is the Flax variable dict of models.Precond (or UNet); `cfg`
+    the UNetConfig used to build it.
+    """
+    from flax.core import unfreeze
+
+    variables = jax.tree.map(lambda x: np.array(x), unfreeze(variables),
+                             is_leaf=lambda x: x is None)
+    root = variables["params"]
+    unet_p = root["unet"] if "unet" in root else root
+    buf_root = variables.get("buffers", {})
+    unet_b = buf_root.get("unet", buf_root)
+
+    for side, name, spec in cfg.block_layout():
+        if side == "out":
+            _import_causal_conv(unet_p["out_conv"], sd, "out_conv")
+            continue
+        prefix = f"{side}.{name}"
+        target = unet_p[f"{side}_{name}"]
+        if spec["kind"] == "conv":
+            _import_causal_conv(target, sd, prefix)
+        else:
+            _import_block(target, sd, prefix)
+
+    _set(unet_p, ("emb_noise", "w"), _dense_w(sd["emb_noise.weight"]))
+    if cfg.label_dim and "emb_label.weight" in sd:
+        _set(unet_p, ("emb_label", "w"), _dense_w(sd["emb_label.weight"]))
+    _set(unet_p, ("out_gain",), sd["out_gain"].reshape(()))
+    if "emb_fourier_sigma" in unet_b:
+        _set(unet_b, ("emb_fourier_sigma", "freqs"), sd["emb_fourier.freqs"])
+        _set(unet_b, ("emb_fourier_sigma", "phases"), sd["emb_fourier.phases"])
+    return jax.tree.map(np.asarray, variables,
+                        is_leaf=lambda x: x is None)
+
+
+def export_2d_state(variables, cfg) -> Dict[str, np.ndarray]:
+    """Inverse of `import_torch_edm2` for the 2D-derivable subset: flattens
+    the video UNet's per-frame weights back into NVIDIA EDM2 2D naming.
+    Useful for round-trip tests and for exporting the just_2d submodel."""
+    root = jax.tree.map(np.asarray, variables["params"])
+    unet_p = root["unet"] if "unet" in root else root
+    buf_root = variables.get("buffers", {})
+    unet_b = buf_root.get("unet", buf_root)
+
+    def conv_back(w):
+        return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+    sd: Dict[str, np.ndarray] = {}
+    for side, name, spec in cfg.block_layout():
+        if side == "out":
+            sd["out_conv.weight"] = conv_back(unet_p["out_conv"]["last_frame_conv"]["w"])
+            continue
+        prefix = f"{side}.{name}"
+        p = unet_p[f"{side}_{name}"]
+        if spec["kind"] == "conv":
+            sd[prefix + ".weight"] = conv_back(p["last_frame_conv"]["w"])
+            continue
+        sd[prefix + ".conv_res0.weight"] = conv_back(p["conv_res0"]["last_frame_conv"]["w"])
+        sd[prefix + ".conv_res1.weight"] = conv_back(p["conv_res1"]["last_frame_conv"]["w"])
+        if "conv_skip" in p:
+            sd[prefix + ".conv_skip.weight"] = conv_back(p["conv_skip"]["w"])
+        sd[prefix + ".emb_linear.weight"] = np.transpose(np.asarray(p["emb_linear"]["w"]))
+        sd[prefix + ".emb_gain"] = np.asarray(p["emb_gain"]).reshape(())
+        if "attn" in p:
+            sd[prefix + ".attn_qkv.weight"] = conv_back(p["attn"]["attn_qkv"]["w"])
+            sd[prefix + ".attn_proj.weight"] = conv_back(p["attn"]["attn_proj"]["w"])
+
+    sd["emb_noise.weight"] = np.transpose(np.asarray(unet_p["emb_noise"]["w"]))
+    if "emb_label" in unet_p:
+        sd["emb_label.weight"] = np.transpose(np.asarray(unet_p["emb_label"]["w"]))
+    sd["out_gain"] = np.asarray(unet_p["out_gain"]).reshape(())
+    if "emb_fourier_sigma" in unet_b:
+        sd["emb_fourier.freqs"] = np.asarray(unet_b["emb_fourier_sigma"]["freqs"])
+        sd["emb_fourier.phases"] = np.asarray(unet_b["emb_fourier_sigma"]["phases"])
+    return sd
