@@ -21,8 +21,23 @@ import numpy as np
 
 
 def resize_frame(frame: np.ndarray, size: int = 256) -> np.ndarray:
+    """INTER_AREA resize of one HWC uint8 frame (reference
+    gym_dataloader.py:61). Uses the native C++ kernel (native/adx_data.cpp)
+    when available; OpenCV otherwise."""
+    from .native import get_lib, resize_area_batch
+    if get_lib() is not None:
+        out = resize_area_batch(frame[None], size)
+        return np.clip(out[0] + 0.5, 0, 255).astype(np.uint8)
     import cv2
     return cv2.resize(frame, (size, size), interpolation=cv2.INTER_AREA)
+
+
+def resize_frames_batch(frames: np.ndarray, size: int = 256) -> np.ndarray:
+    """Fused resize + [-1,1] normalization of a clip of uint8 frames --
+    one native call, OpenMP-parallel across frames."""
+    from .native import resize_area_batch
+    return resize_area_batch(frames, size, scale=np.float32(1 / 127.5),
+                             offset=np.float32(-1.0))
 
 
 class GymDataGenerator:

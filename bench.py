@@ -76,5 +76,67 @@ def main():
     }))
 
 
+def rollout():
+    """AR rollout frames/sec: prefill 6 context frames, generate frames with
+    the EDM sampler (64 steps, rho=2, sigma in [0.4, 80] -- reference
+    generation_code.py:87-95 knobs) through the fixed-shape KV/conv cache."""
+    from autoregressive_diffusion_tpu.models import Precond
+    from autoregressive_diffusion_tpu.models.cache import init_cache
+    from autoregressive_diffusion_tpu.sampling.sampler import edm_sampler
+    from functools import partial
+
+    cfg = _flagship = None
+    from autoregressive_diffusion_tpu.models import UNetConfig
+    cfg = UNetConfig(img_resolution=64, img_channels=8, label_dim=4,
+                     model_channels=32, channel_mult=(1, 2, 4, 8),
+                     num_blocks=2, video_attn_resolutions=(8,),
+                     frame_attn_resolutions=(16,), max_frames=32)
+    model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
+    b, t_ctx = 1, 6
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t_ctx, 64, 64, 8))
+    sig = jnp.full((b, t_ctx), 0.05)
+    cond = jnp.zeros((b, t_ctx), jnp.int32)
+    variables = jax.jit(model.init, static_argnames=("mode",))(
+        jax.random.PRNGKey(0), x, sig, cond, mode="eval")
+
+    prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True))
+    cache = init_cache(model, variables, batch_size=b)
+    _, cache = prefill(variables, x, sig, cond, cache=cache)
+
+    num_steps = 64
+    sample = jax.jit(partial(edm_sampler, model, num_steps=num_steps,
+                             sigma_min=0.4, sigma_max=80.0, rho=2.0),
+                     static_argnames=("shape",))
+    shape = (b, 1, 64, 64, 8)
+
+    # warmup/compile one frame
+    key = jax.random.PRNGKey(1)
+    key, k = jax.random.split(key)
+    _, _, _, cache_w = sample(variables, cache, k, shape=shape,
+                              conditioning=cond[:, :1])
+    jax.block_until_ready(jax.tree.leaves(cache_w)[0])
+
+    n_frames = 8
+    t0 = time.perf_counter()
+    c = cache
+    for _ in range(n_frames):
+        key, k = jax.random.split(key)
+        xf, _, _, c = sample(variables, c, k, shape=shape,
+                             conditioning=cond[:, :1])
+    jax.block_until_ready(xf)
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": "rollout_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": f"frames/s ({num_steps}-step sampler, 2 NFE/step)",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--rollout" in sys.argv:
+        rollout()
+    else:
+        main()

@@ -1,0 +1,62 @@
+"""Tests for the native C++ data-path kernels (native/adx_data.cpp).
+
+Validates the ctypes-bound area resize against the pure-NumPy reference
+implementation and (when OpenCV is installed) against cv2.INTER_AREA -- the
+op the reference applies per rendered frame
+(/root/reference/edm2/gym_dataloader.py:61).
+"""
+import numpy as np
+import pytest
+
+from autoregressive_diffusion_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, (3, 97, 131, 3), dtype=np.uint8)
+
+
+def test_native_matches_numpy(frames):
+    out = native.resize_area_batch(frames, (64, 48))
+    ref = native._resize_area_numpy(frames, 64, 48)
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_native_matches_cv2(frames):
+    cv2 = pytest.importorskip("cv2")
+    out = native.resize_area_batch(frames, 64)
+    cv = np.stack([cv2.resize(f, (64, 64), interpolation=cv2.INTER_AREA)
+                   for f in frames]).astype(np.float32)
+    # cv2 rounds to uint8; agree within the quantization step
+    assert np.abs(out - cv).max() <= 0.5 + 1e-3
+
+
+def test_identity_resize(frames):
+    out = native.resize_area_batch(frames, (97, 131))
+    np.testing.assert_allclose(out, frames.astype(np.float32), atol=1e-3)
+
+
+def test_fused_affine(frames):
+    out = native.resize_area_batch(frames, 64, scale=1 / 127.5, offset=-1.0)
+    plain = native.resize_area_batch(frames, 64)
+    np.testing.assert_allclose(out, plain / 127.5 - 1.0, atol=1e-5)
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_u8_pm1_round_trip(frames):
+    x = native.u8_to_pm1(frames)
+    assert x.dtype == np.float32
+    assert x.min() >= -1 - 1e-6 and x.max() <= 1 + 1e-6
+    back = native.pm1_to_u8(x)
+    np.testing.assert_array_equal(back, frames)
+
+
+def test_numpy_fallback_matches(frames, monkeypatch):
+    native_out = native.resize_area_batch(frames, 32)
+    monkeypatch.setenv("AD_TPU_NATIVE", "0")
+    fallback = native.resize_area_batch(frames, 32)
+    np.testing.assert_allclose(native_out, fallback, atol=2e-3)
+    x = native.u8_to_pm1(frames)
+    np.testing.assert_allclose(x, frames.astype(np.float32) / 127.5 - 1,
+                               atol=1e-6)
