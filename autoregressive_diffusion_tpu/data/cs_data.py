@@ -63,14 +63,26 @@ class LocalLatentShards:
 
 
 def write_latent_shard(path: str, latents: np.ndarray,
-                       actions: Optional[np.ndarray] = None):
+                       actions: Optional[np.ndarray] = None,
+                       key: str = "latents"):
     """Offline tool output format (the MDSWriter equivalent of
-    dataset_processing_counter_strike.py:89-131): fp16 latents + actions per
-    clip, zstd-free npz (XLA-host friendly)."""
-    arrays = {"latents": latents.astype(np.float16)}
+    dataset_processing_counter_strike.py:89-131): fp16 latents (or uint8
+    raw frames under key='frames') + actions per clip, zstd-free npz
+    (XLA-host friendly)."""
+    arrays = {key: latents.astype(np.float16) if key == "latents" else latents}
     if actions is not None:
         arrays["actions"] = actions
     np.savez_compressed(path, **arrays)
+
+
+def merge_shard_index(out_dir: str, shard_dirs) -> str:
+    """Merge per-worker MosaicML `index.json` files into one dataset index
+    (parity with /root/reference/edm2/cs_dataset_processing/
+    index_fusion.py:37-44 `merge_index`). Requires `streaming`."""
+    from streaming.base.util import merge_index
+    index_files = [os.path.join(d, "index.json") for d in shard_dirs]
+    merge_index(index_files, out_dir)
+    return os.path.join(out_dir, "index.json")
 
 
 def streaming_dataset(remote: str, local: str, clip_size: int = 64,

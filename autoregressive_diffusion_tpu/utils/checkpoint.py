@@ -68,15 +68,21 @@ def _push_remote(local: str, path: str):
         raise ValueError(f"unknown remote scheme: {path}")
 
 
-def save_model(path: str, kwargs: Dict[str, Any], variables) -> None:
-    """Write a {kwargs, variables} bundle. kwargs must be JSON-serializable
-    (the constructor knob set, mirroring the reference's self-recorded
-    ctor kwargs, networks_edm2.py:186-189)."""
+def save_model(path: str, kwargs: Dict[str, Any], variables,
+               extra: Optional[Dict[str, Any]] = None) -> None:
+    """Write a {kwargs, variables[, extra]} bundle. kwargs must be
+    JSON-serializable (the constructor knob set, mirroring the reference's
+    self-recorded ctor kwargs, networks_edm2.py:186-189). `extra` is an
+    optional pytree of arrays (e.g. latent mean/std buffers,
+    save_model_to_s3.py parity)."""
     payload = {
         b"kwargs": json.dumps(kwargs).encode(),
         b"variables": serialization.to_bytes(
             jax.tree.map(np.asarray, variables)),
     }
+    if extra:
+        payload[b"extra"] = serialization.to_bytes(
+            jax.tree.map(np.asarray, extra))
     blob = serialization.msgpack_serialize(payload)
     if path.startswith(("s3://", "gs://")):
         with tempfile.NamedTemporaryFile(delete=False) as tmp:
@@ -89,9 +95,11 @@ def save_model(path: str, kwargs: Dict[str, Any], variables) -> None:
             f.write(blob)
 
 
-def load_model(path: str, template=None):
-    """Returns (kwargs, variables). If `template` (a variables pytree) is
-    given, the stored arrays are restored onto its exact structure/dtypes."""
+def load_model(path: str, template=None, with_extra: bool = False):
+    """Returns (kwargs, variables) -- or (kwargs, variables, extra) when
+    `with_extra` -- from a save_model bundle. If `template` (a variables
+    pytree) is given, the stored arrays are restored onto its exact
+    structure/dtypes."""
     if path.startswith(("s3://", "gs://")):
         path = _fetch_remote(path)
     with open(path, "rb") as f:
@@ -102,6 +110,10 @@ def load_model(path: str, template=None):
         variables = serialization.from_bytes(template, raw)
     else:
         variables = serialization.msgpack_restore(raw)
+    if with_extra:
+        extra = (serialization.msgpack_restore(payload[b"extra"])
+                 if b"extra" in payload else None)
+        return kwargs, variables, extra
     return kwargs, variables
 
 
