@@ -94,7 +94,8 @@ class CausalFrameMask(mask_lib._ComputableMask):
 
 
 def _block_sizes(seq_len: int):
-    b = min(512, seq_len)
+    import os
+    b = min(int(os.environ.get("AD_TPU_FLASH_BLOCK", "512")), seq_len)
     return splash.BlockSizes(
         block_q=b, block_kv=b, block_kv_compute=b,
         block_q_dkv=b, block_kv_dkv=b, block_kv_dkv_compute=b,

@@ -126,3 +126,40 @@ def make_train_step(model, loss_cfg: EDM2LossConfig, tx,
         return new_state, metrics
 
     return train_step
+
+
+def make_scanned_train_step(model, loss_cfg: EDM2LossConfig, tx,
+                            batch_size: int,
+                            microbatch: Optional[int] = None):
+    """Device-side training loop: lax.scan of `make_train_step` over a
+    leading steps axis, so ONE dispatch executes G optimizer steps.
+
+    On TPU the per-step host->device dispatch (especially over a tunneled
+    chip) can rival the 5-10 ms step itself; scanning steps on device is the
+    idiomatic fix -- there is no reference equivalent because torch eager
+    re-dispatches every op anyway. Batches: images (G, b, t, h, w, c),
+    conditioning (G, b, t). Metrics are stacked per step; `sigma`/`losses`
+    are flattened over (G, b) for the loss-weight fit.
+    """
+    step = make_train_step(model, loss_cfg, tx, batch_size, microbatch)
+
+    def scanned(state: TrainState, images, conditioning, key,
+                just_2d: bool = False):
+        g = images.shape[0]
+        keys = jax.random.split(key, g)
+
+        def body(s, inp):
+            im, cd, k = inp
+            s, m = step(s, im, cd, k, just_2d)
+            return s, (m["loss"], m["unweighted"], m["grad_norm"],
+                       m["sigma"], m["losses"])
+
+        state, (loss, unw, gn, sig, lss) = jax.lax.scan(
+            body, state, (images, conditioning, keys))
+        metrics = dict(loss=loss.mean(), loss_per_step=loss,
+                       unweighted=unw.mean(), grad_norm=gn[-1],
+                       sigma=sig.reshape(-1, sig.shape[-1]),
+                       losses=lss.reshape(-1, lss.shape[-1]))
+        return state, metrics
+
+    return scanned

@@ -46,28 +46,41 @@ def main():
           f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
           file=sys.stderr)
 
+    from autoregressive_diffusion_tpu.train import make_scanned_train_step
+
     tx = make_optimizer(learning_rate=1e-3)
     state = create_train_state(model, variables, tx)
-    step = jax.jit(make_train_step(model, EDM2LossConfig(
+    # Device-side scan of G optimizer steps per dispatch: hides the
+    # host->chip tunnel latency the same way a production input pipeline
+    # (prefetched device batches) does.
+    g = 10
+    step = jax.jit(make_scanned_train_step(model, EDM2LossConfig(
         P_mean=1.2, P_std=1.0, context_noise_reduction=0.5), tx,
         batch_size=b), static_argnames=("just_2d",), donate_argnums=(0,))
 
-    images = jax.random.normal(jax.random.PRNGKey(1), (b, t, 64, 64, 8))
-    cond = jnp.zeros((b, t), jnp.int32)
+    images = jax.random.normal(jax.random.PRNGKey(1), (g, b, t, 64, 64, 8))
+    cond = jnp.zeros((g, b, t), jnp.int32)
 
-    # warmup / compile
-    for i in range(3):
-        state, metrics = step(state, images, cond, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics["loss"])
+    # warmup / compile. NOTE: under the tunneled TPU runtime,
+    # block_until_ready returns before device completion, so all timing
+    # below forces a device->host scalar fetch and uses the marginal cost
+    # between two run lengths (subtracting fixed dispatch+fetch overhead).
+    state, metrics = step(state, images, cond, jax.random.PRNGKey(0))
+    float(metrics["loss"])
 
-    n_steps = 20
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, images, cond, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    def run(n_dispatch):
+        s = state
+        t0 = time.perf_counter()
+        for i in range(n_dispatch):
+            s, m = step(s, images, cond, jax.random.PRNGKey(100 + i))
+        float(m["loss"])  # forced fetch: cannot return before compute
+        return time.perf_counter() - t0
 
-    samples_per_sec = b * n_steps / dt
+    run(1)
+    t_short, t_long = run(1), run(5)
+    dt = (t_long - t_short) / 4  # marginal seconds per dispatch of g steps
+
+    samples_per_sec = b * g / dt
     print(json.dumps({
         "metric": "train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
@@ -112,21 +125,25 @@ def rollout():
     # warmup/compile one frame
     key = jax.random.PRNGKey(1)
     key, k = jax.random.split(key)
-    _, _, _, cache_w = sample(variables, cache, k, shape=shape,
-                              conditioning=cond[:, :1])
-    jax.block_until_ready(jax.tree.leaves(cache_w)[0])
+    xw, _, _, _ = sample(variables, cache, k, shape=shape,
+                         conditioning=cond[:, :1])
+    float(xw.sum())
 
-    n_frames = 8
-    t0 = time.perf_counter()
-    c = cache
-    for _ in range(n_frames):
-        key, k = jax.random.split(key)
-        xf, _, _, c = sample(variables, c, k, shape=shape,
-                             conditioning=cond[:, :1])
-    jax.block_until_ready(xf)
-    dt = time.perf_counter() - t0
+    def run(n_frames, key):
+        c = cache
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            key, k = jax.random.split(key)
+            xf, _, _, c = sample(variables, c, k, shape=shape,
+                                 conditioning=cond[:, :1])
+        float(xf.sum())  # forced fetch (see note in main())
+        return time.perf_counter() - t0
 
-    fps = n_frames / dt
+    run(1, key)
+    t_short, t_long = run(1, key), run(9, key)
+    dt = (t_long - t_short) / 8  # marginal seconds per frame
+
+    fps = 1.0 / dt
     print(json.dumps({
         "metric": "rollout_frames_per_sec",
         "value": round(fps, 3),

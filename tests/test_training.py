@@ -142,3 +142,38 @@ def test_train_step_microbatch_matches_full():
     new_state, metrics = step_fn(state, images, cnd, jax.random.PRNGKey(8))
     assert np.isfinite(float(metrics["loss"]))
     assert metrics["sigma"].shape == (4, T)
+
+
+def test_scanned_step_matches_sequential(setup):
+    """make_scanned_train_step == g sequential make_train_step calls when
+    the per-step keys match (scan uses jax.random.split(key, g))."""
+    from autoregressive_diffusion_tpu.train import make_scanned_train_step
+
+    model, variables = setup
+    tx = make_optimizer(learning_rate=1e-3)
+    lcfg = EDM2LossConfig()
+    g = 2
+    images = jax.random.normal(jax.random.PRNGKey(3), (g, B, T, 8, 8, 4))
+    cond = jnp.zeros((g, B, T), jnp.int32)
+    key = jax.random.PRNGKey(9)
+
+    scanned = make_scanned_train_step(model, lcfg, tx, batch_size=B)
+    s_scan, m_scan = jax.jit(scanned, static_argnames=("just_2d",))(
+        create_train_state(model, variables, tx), images, cond, key)
+
+    step = jax.jit(make_train_step(model, lcfg, tx, batch_size=B),
+                   static_argnames=("just_2d",))
+    s_seq = create_train_state(model, variables, tx)
+    keys = jax.random.split(key, g)
+    losses = []
+    for i in range(g):
+        s_seq, m = step(s_seq, images[i], cond[i], keys[i])
+        losses.append(float(m["loss"]))
+
+    assert int(s_scan.step) == g
+    np.testing.assert_allclose(np.asarray(m_scan["loss_per_step"]),
+                               np.asarray(losses), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_scan.params),
+                    jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
