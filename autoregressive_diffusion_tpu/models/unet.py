@@ -51,6 +51,7 @@ class UNetConfig:
     clip_act: float = 256.0
     dropout: float = 0.0
     max_frames: int = 64  # KV-cache capacity for autoregressive rollout
+    remat: bool = False   # jax.checkpoint each Block (memory for flops)
 
     @property
     def cblock(self):
@@ -241,6 +242,13 @@ class UNet(nn.Module):
         for side, name, spec in cfg.block_layout():
             blocks.setdefault(side, []).append((name, spec))
 
+        # Optional per-Block rematerialization: activations inside a Block
+        # are recomputed in the backward pass. update_cache/mode/just_2d are
+        # static call args; in flax's lifted remat the module itself is
+        # argument 0, so they sit at positions 6, 7, 8.
+        BlockMod = (nn.remat(Block, static_argnums=(6, 7, 8))
+                    if cfg.remat else Block)
+
         enc_cache, dec_cache = {}, {}
         for name, spec in blocks["enc"]:
             sub = cache.get("enc", {}).get(name)
@@ -249,7 +257,7 @@ class UNet(nn.Module):
                                       name=f"enc_{name}")(
                     x, c_noise, frames, sub, update_cache, mode, just_2d)
             else:
-                x, c = Block(spec["cout"], flavor="enc",
+                x, c = BlockMod(spec["cout"], flavor="enc",
                              resample_mode=spec["resample"],
                              attention=spec["attention"],
                              channels_per_head=cfg.channels_per_head,
@@ -265,7 +273,7 @@ class UNet(nn.Module):
             if "block" in name:
                 x = mp_cat(x, skips.pop(), t=cfg.concat_balance)
             sub = cache.get("dec", {}).get(name)
-            x, c = Block(spec["cout"], flavor="dec",
+            x, c = BlockMod(spec["cout"], flavor="dec",
                          resample_mode=spec["resample"],
                          attention=spec["attention"],
                          channels_per_head=cfg.channels_per_head,

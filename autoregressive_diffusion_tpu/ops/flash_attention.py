@@ -153,6 +153,8 @@ def flash_supported(seq_len: int, head_dim: int) -> bool:
         return False
     if env == "1":
         return True
-    # XLA's fused dense attention wins below ~4k tokens on v5e (measured);
-    # the flash kernel's value is O(S) memory at long context.
-    return seq_len >= 4096
+    # Measured on v5e (marginal-cost timing, 2026-08): the splash kernel
+    # edges out XLA's dense fused attention already at S=1024 on the DART
+    # train mask (~4% whole-step win) and scales O(S * clean-frames) at long
+    # context where dense is O(S^2). Kernel overhead only loses below ~512.
+    return seq_len >= 512
