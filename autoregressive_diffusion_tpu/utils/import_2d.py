@@ -60,7 +60,18 @@ def _import_causal_conv(params: dict, sd: Dict[str, np.ndarray], prefix: str):
     _set(params, ("last_frame_conv", "w"), _conv_w(sd[prefix + ".weight"]))
 
 
-def _import_block(params: dict, sd: Dict[str, np.ndarray], prefix: str):
+def _qkv_mcs_to_smc(w_oihw: np.ndarray, num_heads: int) -> np.ndarray:
+    """Permute a qkv projection's output channels from the reference's
+    (m c s) interleave (attention_modules.py:48) to this build's contiguous
+    (s m c) layout (models/attention.py). Pure relabeling of rows."""
+    o, i, kh, kw = w_oihw.shape
+    c = o // (3 * num_heads)
+    return (w_oihw.reshape(num_heads, c, 3, i, kh, kw)
+            .transpose(2, 0, 1, 3, 4, 5).reshape(o, i, kh, kw))
+
+
+def _import_block(params: dict, sd: Dict[str, np.ndarray], prefix: str,
+                  num_heads: int = 0):
     """Reference networks_edm2.py:95-110 Block.load_from_2d."""
     _import_causal_conv(params["conv_res0"], sd, prefix + ".conv_res0")
     _import_causal_conv(params["conv_res1"], sd, prefix + ".conv_res1")
@@ -71,7 +82,8 @@ def _import_block(params: dict, sd: Dict[str, np.ndarray], prefix: str):
     if prefix + ".emb_gain" in sd:
         _set(params, ("emb_gain",), sd[prefix + ".emb_gain"].reshape(()))
     if prefix + ".attn_qkv.weight" in sd:
-        _set(params, ("attn", "attn_qkv", "w"), _conv_w(sd[prefix + ".attn_qkv.weight"]))
+        qkv = _qkv_mcs_to_smc(sd[prefix + ".attn_qkv.weight"], num_heads)
+        _set(params, ("attn", "attn_qkv", "w"), _conv_w(qkv))
         _set(params, ("attn", "attn_proj", "w"), _conv_w(sd[prefix + ".attn_proj.weight"]))
 
 
@@ -100,7 +112,8 @@ def import_torch_edm2(variables, sd: Dict[str, np.ndarray], cfg):
         if spec["kind"] == "conv":
             _import_causal_conv(target, sd, prefix)
         else:
-            _import_block(target, sd, prefix)
+            _import_block(target, sd, prefix,
+                          num_heads=spec["cout"] // cfg.channels_per_head)
 
     _set(unet_p, ("emb_noise", "w"), _dense_w(sd["emb_noise.weight"]))
     if cfg.label_dim and "emb_label.weight" in sd:
@@ -142,7 +155,14 @@ def export_2d_state(variables, cfg) -> Dict[str, np.ndarray]:
         sd[prefix + ".emb_linear.weight"] = np.transpose(np.asarray(p["emb_linear"]["w"]))
         sd[prefix + ".emb_gain"] = np.asarray(p["emb_gain"]).reshape(())
         if "attn" in p:
-            sd[prefix + ".attn_qkv.weight"] = conv_back(p["attn"]["attn_qkv"]["w"])
+            heads = spec["cout"] // cfg.channels_per_head
+            qkv = conv_back(p["attn"]["attn_qkv"]["w"])
+            o, i, kh, kw = qkv.shape
+            c = o // (3 * heads)
+            # invert _qkv_mcs_to_smc: ours (s m c) -> reference (m c s)
+            qkv = (qkv.reshape(3, heads, c, i, kh, kw)
+                   .transpose(1, 2, 0, 3, 4, 5).reshape(o, i, kh, kw))
+            sd[prefix + ".attn_qkv.weight"] = qkv
             sd[prefix + ".attn_proj.weight"] = conv_back(p["attn"]["attn_proj"]["w"])
 
     sd["emb_noise.weight"] = np.transpose(np.asarray(unet_p["emb_noise"]["w"]))

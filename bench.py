@@ -54,9 +54,11 @@ def main():
     # host->chip tunnel latency the same way a production input pipeline
     # (prefetched device batches) does.
     g = 10
+    # NOTE: no donate_argnums -- the marginal-cost harness restarts each
+    # timed run from the same `state`, which donation would invalidate.
     step = jax.jit(make_scanned_train_step(model, EDM2LossConfig(
         P_mean=1.2, P_std=1.0, context_noise_reduction=0.5), tx,
-        batch_size=b), static_argnames=("just_2d",), donate_argnums=(0,))
+        batch_size=b), static_argnames=("just_2d",))
 
     images = jax.random.normal(jax.random.PRNGKey(1), (g, b, t, 64, 64, 8))
     cond = jnp.zeros((g, b, t), jnp.int32)

@@ -89,7 +89,7 @@ def test_frame_attention_matches_manual_softmax():
     from autoregressive_diffusion_tpu.ops.numerics import mp_sum
     qkv = MPConv(CH * 3, (1, 1)).apply(
         {"params": params["params"]["attn_qkv"]}, x)
-    yy = einops.rearrange(qkv, "b t h w (m c s) -> s b m t (h w) c", s=3, m=4)
+    yy = einops.rearrange(qkv, "b t h w (s m c) -> s b m t (h w) c", s=3, m=4)
     q, k, v = normalize(yy, axis=-1)
     logits = jnp.einsum("bmtqc,bmtkc->bmtqk", q, k) / np.sqrt(q.shape[-1])
     w = jax.nn.softmax(logits, axis=-1)
