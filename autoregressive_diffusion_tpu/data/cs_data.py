@@ -29,7 +29,11 @@ class LocalLatentShards:
     `write_latent_shard` below."""
 
     def __init__(self, shard_dir: str, clip_size: int = 64,
-                 key: str = "latents", seed: int = 0, shuffle: bool = True):
+                 key: str = "latents", seed: int = 0, shuffle: bool = True,
+                 rank: int = 0, num_replicas: int = 1):
+        """rank/num_replicas stride the shard order across data-parallel
+        processes (the InfiniteSampler role, reference
+        torch_utils/misc.py:122-144); pass jax.process_index()/count()."""
         self.paths = sorted(
             os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
             if f.endswith(".npz"))
@@ -39,14 +43,16 @@ class LocalLatentShards:
         self.key = key
         self.seed = seed
         self.shuffle = shuffle
+        self.rank = rank
+        self.num_replicas = num_replicas
 
     def __iter__(self) -> Iterator[dict]:
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.seed)  # same order on all ranks
         order = np.arange(len(self.paths))
         while True:
             if self.shuffle:
                 rng.shuffle(order)
-            for i in order:
+            for i in order[self.rank::self.num_replicas]:
                 with np.load(self.paths[i]) as z:
                     data = z[self.key]
                     actions = z["actions"] if "actions" in z else None

@@ -1,2 +1,2 @@
-from .mesh import (batch_sharding, create_mesh, param_sharding, replicated,
-                   shard_train_state)
+from .mesh import (batch_sharding, check_replica_consistency, create_mesh,
+                   param_sharding, replicated, shard_train_state)

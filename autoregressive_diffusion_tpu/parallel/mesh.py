@@ -83,6 +83,31 @@ def shard_train_state(state, mesh: Mesh, min_shard_size: int = 128):
     return jax.device_put(state, state_shardings), state_shardings
 
 
+def check_replica_consistency(params, rtol: float = 0.0) -> list:
+    """Verify that every process holds identical parameter values --
+    the SPMD analogue of the reference's check_ddp_consistency broadcast
+    compare (torch_utils/misc.py:183-194). Returns a list of mismatch
+    descriptions (empty == consistent). Cheap: compares per-leaf fp64 sums
+    gathered across processes, not full tensors."""
+    sums = np.asarray([np.asarray(jax.device_get(p), np.float64).sum()
+                       for p in jax.tree.leaves(params)], np.float64)
+    if jax.process_count() == 1:
+        return []
+    from jax.experimental import multihost_utils
+    all_sums = np.atleast_2d(np.asarray(
+        multihost_utils.process_allgather(sums)))
+    paths = [jax.tree_util.keystr(kp) for kp, _ in
+             jax.tree_util.tree_flatten_with_path(params)[0]]
+    bad = []
+    for i, path in enumerate(paths):
+        col = all_sums[:, i]
+        ref = col[0]
+        tol = rtol * max(abs(ref), 1e-30)
+        if np.any(np.abs(col - ref) > tol):
+            bad.append(f"{path}: per-process sums {col.tolist()}")
+    return bad
+
+
 def _match_params(opt_state, params, p_shard, rep):
     """Shard optimizer-state leaves that mirror the param tree (Adam m/v)
     like the params; everything else replicated."""
