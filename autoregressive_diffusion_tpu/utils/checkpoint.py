@@ -125,21 +125,36 @@ def _ckpt_dir(path: str) -> str:
 
 
 def save_train_state(ckpt_dir: str, step: int, state, extra: Optional[dict] = None):
+    """Orbax checkpoint of the TrainState; `extra` (loss history etc.) is a
+    schema-free pytree, msgpack-serialized so its structure can change
+    between save and resume (e.g. a growing loss list)."""
     import orbax.checkpoint as ocp
     path = os.path.join(_ckpt_dir(ckpt_dir), f"step_{step:09d}")
+    blob = serialization.msgpack_serialize(
+        jax.tree.map(np.asarray, extra or {}))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, dict(state=jax.tree.map(np.asarray, state),
-                              extra=extra or {}), force=True)
+                              extra_blob=np.frombuffer(blob, np.uint8).copy()),
+                   force=True)
 
 
 def restore_train_state(ckpt_dir: str, step: int, state_template,
                         extra_template: Optional[dict] = None):
+    """Returns (state, extra) with HOST (numpy) leaves -- callers device_put
+    / shard afterwards. The template is forced to numpy before Orbax sees it:
+    restoring onto device-resident jax.Arrays makes Orbax issue device puts
+    from its own event loop, which deadlocks tunneled TPU runtimes.
+    `extra_template` is accepted for backward compatibility but ignored --
+    extra restores schema-free from its msgpack blob."""
     import orbax.checkpoint as ocp
     path = os.path.join(_ckpt_dir(ckpt_dir), f"step_{step:09d}")
+    host_template = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
+                                 state_template)
     with ocp.PyTreeCheckpointer() as ckptr:
-        out = ckptr.restore(path, item=dict(state=state_template,
-                                            extra=extra_template or {}))
-    return out["state"], out["extra"]
+        out = ckptr.restore(path, item=dict(
+            state=host_template, extra_blob=np.zeros(0, np.uint8)))
+    extra = serialization.msgpack_restore(bytes(bytearray(out["extra_blob"])))
+    return out["state"], extra
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

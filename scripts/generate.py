@@ -75,12 +75,23 @@ def main():
     s1 = jnp.full((b, 1), 1.0)
     c1 = jnp.zeros((b, 1), jnp.int32)
     y = dec(variables, x1, s1, c1, cache)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(args.bench_iters):
-        y = dec(variables, x1, s1, c1, cache)
-    jax.block_until_ready(y)
-    per_call = (time.perf_counter() - t0) / args.bench_iters
+    float(y.sum())
+
+    def timed(iters):
+        # chain calls (output feeds input) and force a host fetch so async
+        # runtimes cannot return early; see bench.py timing notes
+        yy = x1
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            yy = dec(variables, yy, s1, c1, cache)
+        float(yy.sum())
+        return time.perf_counter() - t0
+
+    timed(2)
+    t_short = timed(max(args.bench_iters // 10, 1))
+    t_long = timed(args.bench_iters)
+    per_call = (t_long - t_short) / (args.bench_iters -
+                                     max(args.bench_iters // 10, 1))
     print(f"# cached denoiser forward: {per_call*1e3:.2f} ms/call "
           f"({1/per_call:.1f} calls/s)")
 

@@ -126,3 +126,31 @@ class TestMisc:
         assert compare_caches(a, a) == []
         diffs = compare_caches(a, b)
         assert len(diffs) == 1 and "/sub/y" in diffs[0]
+
+
+class TestTrainStateCheckpoint:
+    def test_save_restore_round_trip(self, tiny, tmp_path):
+        """Orbax train-state checkpoint round trip, including the schema-free
+        extra blob (a growing loss list must not break resume)."""
+        from autoregressive_diffusion_tpu.train import (create_train_state,
+                                                        make_optimizer)
+        from autoregressive_diffusion_tpu.utils import (latest_step,
+                                                        restore_train_state,
+                                                        save_train_state)
+
+        cfg, model, variables = tiny
+        tx = make_optimizer(learning_rate=1e-3)
+        state = create_train_state(model, variables, tx)
+        save_train_state(str(tmp_path), 7, jax.device_get(state),
+                         {"losses": [1.0, 2.0, 3.0], "ref_lr": 1e-2})
+        assert latest_step(str(tmp_path)) == 7
+
+        restored, extra = restore_train_state(str(tmp_path), 7, state)
+        assert list(extra["losses"]) == [1.0, 2.0, 3.0]
+        assert float(extra["ref_lr"]) == pytest.approx(1e-2)
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored leaves are host numpy (tunneled-TPU deadlock guard)
+        assert all(isinstance(l, np.ndarray) or np.isscalar(l)
+                   for l in jax.tree.leaves(restored.params))
