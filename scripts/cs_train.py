@@ -84,7 +84,8 @@ def main():
         make_train_step(model, loss_cfg, tx, batch_size=b,
                         microbatch=args.micro_batch),
         static_argnames=("just_2d",),
-        in_shardings=(shardings, batch_sharding(mesh), replicated(mesh)),
+        in_shardings=(shardings, batch_sharding(mesh), batch_sharding(mesh),
+                      replicated(mesh)),
         out_shardings=(shardings, None),
         donate_argnums=(0,))
 

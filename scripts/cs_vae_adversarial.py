@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--adv-weight", type=float, default=0.1)
     ap.add_argument("--ckpt-dir", default="saved_models_cs")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="force synthetic frames (also the default when no --shards)")
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.data import (LocalLatentShards,
@@ -106,12 +108,20 @@ def main():
         loader = batched_latents(ds, args.batch)
     else:
         print("# synthetic frames (smoke mode)")
-        gen = iter(SyntheticVideoGenerator(args.clip_size, args.frame_size,
-                                           4, 4, args.steps * args.batch))
-
         def synth():
+            # infinite: re-create the finite generator on exhaustion (the
+            # loop pulls one batch past args.steps before breaking)
+            epoch = 0
             while True:
-                yield {"frames": np.stack([next(gen)[0] for _ in range(args.batch)])}
+                gen = iter(SyntheticVideoGenerator(
+                    args.clip_size, args.frame_size, 4, 4,
+                    max(args.batch, 64), seed=epoch))
+                try:
+                    while True:
+                        yield {"frames": np.stack(
+                            [next(gen)[0] for _ in range(args.batch)])}
+                except StopIteration:
+                    epoch += 1
         loader = synth()
 
     key = jax.random.PRNGKey(3)

@@ -56,9 +56,11 @@ def main():
     x0 = jnp.zeros((1, 8, args.frame_size, args.frame_size, 3))
     vae_vars = jax.jit(vae.init)(jax.random.PRNGKey(0), x0,
                                  key=jax.random.PRNGKey(1))
+    # discriminator input is the 6-channel (frames || recon) concat
+    # (reference discriminator.py:304-329)
     disc_vars = jax.jit(disc.init)(jax.random.PRNGKey(2),
                                    jnp.zeros((1, 8, args.frame_size,
-                                              args.frame_size, 3)))
+                                              args.frame_size, 6)))
     print(f"# VAE params: "
           f"{sum(p.size for p in jax.tree.leaves(vae_vars['params']))/1e3:.0f}K")
 
