@@ -60,3 +60,23 @@ def test_numpy_fallback_matches(frames, monkeypatch):
     x = native.u8_to_pm1(frames)
     np.testing.assert_allclose(x, frames.astype(np.float32) / 127.5 - 1,
                                atol=1e-6)
+
+
+def test_shard_striding(tmp_path):
+    """LocalLatentShards rank/num_replicas stride disjoint shard subsets
+    (InfiniteSampler parity, reference torch_utils/misc.py:122-144)."""
+    from autoregressive_diffusion_tpu.data import (LocalLatentShards,
+                                                   write_latent_shard)
+    for i in range(4):
+        write_latent_shard(str(tmp_path / f"clip_{i}.npz"),
+                           np.full((8, 2, 2, 2), i, np.float16),
+                           np.zeros(8, np.int64))
+    seen = []
+    for rank in range(2):
+        ds = LocalLatentShards(str(tmp_path), clip_size=8, shuffle=False,
+                               rank=rank, num_replicas=2)
+        it = iter(ds)
+        vals = {int(next(it)["latents"][0, 0, 0, 0]) for _ in range(2)}
+        seen.append(vals)
+    assert seen[0] | seen[1] == {0, 1, 2, 3}
+    assert seen[0] & seen[1] == set()
