@@ -57,20 +57,17 @@ def _drain_synced() -> Dict[str, np.ndarray]:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        names = sorted(pending)
-        stacked = np.stack([pending[n] for n in names]) if names else \
-            np.zeros((0, _NUM_MOMENTS))
         # every process must contribute the same names, in the same order;
         # gather the union of names first, then the moment matrix.
+        blob = ("\x00".join(sorted(pending))).encode()[:4096]
         all_names = multihost_utils.process_allgather(
-            np.frombuffer(("\x00".join(names)).encode().ljust(4096, b"\x01"),
-                          dtype=np.uint8))
+            np.frombuffer(blob.ljust(4096, b"\x01"), dtype=np.uint8))
         union: List[str] = sorted({
             n for row in np.atleast_2d(all_names)
             for n in bytes(row).rstrip(b"\x01").decode().split("\x00") if n})
         full = np.zeros((len(union), _NUM_MOMENTS))
         for i, n in enumerate(union):
-            if n in dict(zip(names, stacked)):
+            if n in pending:
                 full[i] = pending[n]
         summed = np.asarray(multihost_utils.process_allgather(full)).sum(0)
         pending = {n: summed[i] for i, n in enumerate(union)}
