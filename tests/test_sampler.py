@@ -72,3 +72,37 @@ def test_rollout_advances_cache(model_setup):
     assert frames.shape == (B, 3, 8, 8, 4)
     assert bool(jnp.isfinite(frames).all())
     assert int(cache["frames"]) == 5
+
+
+def test_guidance_churn_mse_path():
+    """CFG (just_2d reference pass), S_churn noise injection, and per-step
+    target-MSE tracking; cache must NOT advance when a target is given
+    (reference sampler.py:28-32, :57-66, :77-82)."""
+    import numpy as np
+    from autoregressive_diffusion_tpu.models import (Precond, UNetConfig,
+                                                     init_cache)
+    from autoregressive_diffusion_tpu.sampling import edm_sampler
+
+    cfg = UNetConfig(img_resolution=8, img_channels=3, label_dim=4,
+                     model_channels=8, channel_mult=(1, 2), num_blocks=1,
+                     video_attn_resolutions=(4,), frame_attn_resolutions=(8,),
+                     channels_per_head=8, max_frames=8)
+    model = Precond(cfg, sigma_data=0.5)
+    x = jnp.zeros((1, 2, 8, 8, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.ones((1, 2)),
+                           jnp.zeros((1, 2), jnp.int32), mode="eval")
+    cache = init_cache(model, variables, 1)
+    _, cache = model.apply(variables, x, jnp.full((1, 2), 0.05),
+                           jnp.zeros((1, 2), jnp.int32), cache=cache,
+                           update_cache=True, mode="eval")
+    tgt = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 8, 8, 3))
+    xs, mses, mses_pred, cache = edm_sampler(
+        model, variables, cache, jax.random.PRNGKey(3), (1, 1, 8, 8, 3),
+        conditioning=jnp.zeros((1, 1), jnp.int32), num_steps=4,
+        sigma_max=10.0, sigma_min=0.4, rho=2.0, guidance=1.5, S_churn=5.0,
+        target=tgt)
+    assert np.isfinite(np.asarray(xs)).all()
+    assert mses.shape == (4,) and np.isfinite(np.asarray(mses)).all()
+    # denoising toward the target: MSE decreases across steps
+    assert float(mses[-1]) < float(mses[0])
+    assert int(cache["frames"]) == 2
