@@ -61,6 +61,13 @@ class MPConv(nn.Module):
         kh, kw = self.kernel
         w = self.param("w", _randn, (kh, kw, in_ch, self.out_channels))
         w = mp_weight(w, gain).astype(x.dtype)
+        if kh == kw == 1:
+            # Pointwise conv == matmul over the channel axis. Lowering it as
+            # a real convolution forces XLA's TPU conv emitter layout
+            # (batch-minor) and a relayout copy on both sides; the matmul
+            # stays in the producer/consumer elementwise layout and fuses
+            # (~23% of step time was such copies before this).
+            return jnp.einsum("...c,cd->...d", x, w[0, 0])
         lead = x.shape[:-3]
         x4 = x.reshape((-1,) + x.shape[-3:])
         y = jax.lax.conv_general_dilated(
