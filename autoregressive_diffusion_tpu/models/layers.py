@@ -52,15 +52,20 @@ class MPConv(nn.Module):
     kernel: Tuple[int, ...] = ()
 
     @nn.compact
-    def __call__(self, x: jax.Array, gain=1.0) -> jax.Array:
+    def __call__(self, x: jax.Array, gain=1.0,
+                 return_weight: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         if len(self.kernel) == 0:
             w = self.param("w", _randn, (in_ch, self.out_channels))
             w = mp_weight(w, gain).astype(x.dtype)
+            if return_weight:
+                return w
             return x @ w
         kh, kw = self.kernel
         w = self.param("w", _randn, (kh, kw, in_ch, self.out_channels))
         w = mp_weight(w, gain).astype(x.dtype)
+        if return_weight:
+            return w
         if kh == kw == 1:
             # Pointwise conv == matmul over the channel axis. Lowering it as
             # a real convolution forces XLA's TPU conv emitter layout
@@ -131,10 +136,62 @@ class MPCausalConv3d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, c_noise: jax.Array, frames=0,
                  cache=None, update_cache: bool = False,
-                 mode: str = "train", just_2d: bool = False):
-        b, t_total, h, w, cin = x.shape
+                 mode: str = "train", just_2d: bool = False,
+                 fused: bool = False, silu_in: bool = False, cvec=None,
+                 fused_interpret: bool = False, packed_hw=None):
+        if packed_hw is not None:
+            # x is already in the kernel's packed layout
+            # (B, T, 2, C, (H+2)*W) -- see ops/fused_conv.py repad_packed;
+            # output stays packed (B, T, 2, Co, H*W).
+            h, w = packed_hw
+            b, t_half, _, cin, _ = x.shape
+            t_total = 2 * t_half
+        else:
+            b, t_total, h, w, cin = x.shape
         kt, kh, kw = self.kernel
         last_frame_conv = MPConv(self.out_channels, (kh, kw), name="last_frame_conv")
+
+        if fused:
+            # Pallas fused transform+conv+gate path (train mode only); the
+            # XLA path below stays as the reference/eval implementation.
+            # ops/fused_conv.py documents the layout rationale.
+            from ..ops import fused_conv as fc
+            assert mode == "train", "fused path is train-mode only"
+            w2n = last_frame_conv(
+                x if packed_hw is None else jnp.zeros((1, 1, 1, cin), x.dtype),
+                return_weight=True)
+            if just_2d:
+                # ctx branch disabled: placeholder weight/gates (unread by
+                # the kernel, zero gradients). just_2d input is NOT the DART
+                # concat (reference loss.py:20-26) but the kernel's (s, t)
+                # pairing is a pure relabeling of independent frames.
+                w3n = jnp.zeros((kt - 1, kh, kw, cin, self.out_channels),
+                                x.dtype)
+                gp = jnp.zeros((b, t_total // 2, 2), jnp.float32)
+            else:
+                kt_ctx = kt - 1
+                w3r = self.param(
+                    "w", _randn, (kt_ctx, kh, kw, cin, self.out_channels))
+                w3n = mp_weight(w3r).astype(x.dtype)
+                gate, _ = Gating(name="gating")(
+                    c_noise, n_context_frames=frames, train=True)
+                t_half = t_total // 2
+                gp = gate.reshape(b, 2, t_half).transpose(0, 2, 1)
+            xp = x if packed_hw is not None else fc.pack_x(x, h, w)
+            cvp = None
+            if cvec is not None:
+                cv = cvec.astype(x.dtype)
+                cvp = cv.reshape(b, 2, t_total // 2, cin).transpose(0, 2, 1, 3)
+            out = fc.fused_gated_conv(xp, w2n, w3n, cvp, gp, h, w, silu_in,
+                                      not just_2d, fused_interpret)
+            if packed_hw is not None:
+                return out, cache
+            return fc.unpack_out(out, h, w, self.out_channels), cache
+
+        if cvec is not None:
+            x = x * cvec[:, :, None, None, :].astype(x.dtype)
+        if silu_in:
+            x = jax.nn.silu(x) / 0.596
         y2d = last_frame_conv(x)
         if just_2d:
             return y2d, cache

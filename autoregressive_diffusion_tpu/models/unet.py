@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.fused_conv import fused_supported
 from ..ops.numerics import (bmult, mp_cat, mp_fourier, mp_silu, mp_sum,
                             normalize, resample)
 from .attention import FrameAttention, VideoAttention
@@ -169,15 +170,39 @@ class Block(nn.Module):
                 x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
             x = normalize(x, axis=-1)  # pixel norm
 
-        y, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res0")(
-            mp_silu(x), c_noise, frames, cache.get("conv_res0"), update_cache,
-            mode, just_2d)
+        # On TPU in train mode the conv + its preceding elementwise transform
+        # (mp_silu, noise-embedding modulation) run as one fused Pallas
+        # kernel (ops/fused_conv.py); the unfused path is the reference.
+        use_fused, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
         emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
         c = MPConv(self.out_channels, (), name="emb_linear")(emb, gain=emb_gain) + 1
-        y = y * c[:, :, None, None, :].astype(y.dtype)
-        y = mp_silu(y)
-        y, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res1")(
-            y, c_noise, frames, cache.get("conv_res1"), update_cache, mode, just_2d)
+        if use_fused:
+            # Both convs run in the kernel's packed layout; only one
+            # pack / unpack pair per Block (repad_packed re-inserts the
+            # H-padding between them at ~1x traffic).
+            from ..ops import fused_conv as fc
+            h_, w_ = x.shape[2:4]
+            yp, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3),
+                                    name="conv_res0")(
+                fc.pack_x(x, h_, w_), c_noise, frames,
+                cache.get("conv_res0"), update_cache, mode, just_2d,
+                fused=True, silu_in=True, fused_interpret=fi,
+                packed_hw=(h_, w_))
+            yp, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3),
+                                    name="conv_res1")(
+                fc.repad_packed(yp, h_, w_), c_noise, frames,
+                cache.get("conv_res1"), update_cache, mode, just_2d,
+                fused=True, silu_in=True, cvec=c, fused_interpret=fi,
+                packed_hw=(h_, w_))
+            y = fc.unpack_out(yp, h_, w_, self.out_channels)
+        else:
+            y, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res0")(
+                mp_silu(x), c_noise, frames, cache.get("conv_res0"), update_cache,
+                mode, just_2d)
+            y = y * c[:, :, None, None, :].astype(y.dtype)
+            y = mp_silu(y)
+            y, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res1")(
+                y, c_noise, frames, cache.get("conv_res1"), update_cache, mode, just_2d)
 
         if self.flavor == "dec" and in_channels != self.out_channels:
             x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
@@ -253,9 +278,11 @@ class UNet(nn.Module):
         for name, spec in blocks["enc"]:
             sub = cache.get("enc", {}).get(name)
             if spec["kind"] == "conv":
+                uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
                 x, c = MPCausalConv3d(spec["cout"], (3, 3, 3),
                                       name=f"enc_{name}")(
-                    x, c_noise, frames, sub, update_cache, mode, just_2d)
+                    x, c_noise, frames, sub, update_cache, mode, just_2d,
+                    fused=uf, fused_interpret=fi)
             else:
                 x, c = BlockMod(spec["cout"], flavor="enc",
                              resample_mode=spec["resample"],
@@ -284,8 +311,10 @@ class UNet(nn.Module):
                 x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
             dec_cache[name] = c
 
+        uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
         x, out_c = MPCausalConv3d(cfg.img_channels, (3, 3, 3), name="out_conv")(
-            x, c_noise, frames, cache.get("out_conv"), update_cache, mode, just_2d)
+            x, c_noise, frames, cache.get("out_conv"), update_cache, mode,
+            just_2d, fused=uf, fused_interpret=fi)
         x = x * out_gain
 
         new_cache.update(enc=enc_cache, dec=dec_cache, out_conv=out_c)
