@@ -165,21 +165,61 @@ class Block(nn.Module):
                      if self.attention else 0)
 
         x = resample(x, f=(1, 1), mode=self.resample_mode)
+
+        # On TPU in train mode the conv + its preceding elementwise transform
+        # (mp_silu, noise-embedding modulation) run as one fused Pallas
+        # kernel (ops/fused_conv.py); the unfused path is the reference.
+        # Attention-free Blocks (the hot high resolutions by construction:
+        # attention only runs at 8/16) additionally execute the skip conv,
+        # pixel norm, residual mp_sum and clip in the kernel's packed layout,
+        # so the whole Block touches HBM in dense tiles.
+        use_fused, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
+        emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
+        c = MPConv(self.out_channels, (), name="emb_linear")(emb, gain=emb_gain) + 1
+        # in_channels % 8: the packed layout zero-pads C to a multiple of 8,
+        # which would skew the pixel-norm divisor / skip einsum otherwise.
+        if use_fused and self.attention is None and in_channels % 8 == 0:
+            from ..ops import fused_conv as fc
+            h_, w_ = x.shape[2:4]
+            xp = fc.pack_x(x, h_, w_)
+            if self.flavor == "enc":
+                if in_channels != self.out_channels:
+                    wsk = MPConv(self.out_channels, (1, 1), name="conv_skip")(
+                        x[:1, :1, :1], return_weight=True)
+                    xp = jnp.einsum("btscy,cd->btsdy", xp,
+                                    wsk[0, 0].astype(xp.dtype))
+                xp = normalize(xp, axis=-2)  # pixel norm over channels
+            yp, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3),
+                                    name="conv_res0")(
+                xp, c_noise, frames, cache.get("conv_res0"), update_cache,
+                mode, just_2d, fused=True, silu_in=True, fused_interpret=fi,
+                packed_hw=(h_, w_))
+            yp, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3),
+                                    name="conv_res1")(
+                fc.repad_packed(yp, h_, w_), c_noise, frames,
+                cache.get("conv_res1"), update_cache, mode, just_2d,
+                fused=True, silu_in=True, cvec=c, fused_interpret=fi,
+                packed_hw=(h_, w_))
+            if self.flavor == "dec" and in_channels != self.out_channels:
+                wsk = MPConv(self.out_channels, (1, 1), name="conv_skip")(
+                    x[:1, :1, :1], return_weight=True)
+                xp = jnp.einsum("btscy,cd->btsdy", xp,
+                                wsk[0, 0].astype(xp.dtype))
+            # crop the H-padding of the residual to match the conv output
+            xr = xp.reshape(*xp.shape[:4], h_ + 2, w_)[..., 1:-1, :]
+            xr = xr.reshape(*xp.shape[:4], h_ * w_)
+            xo = mp_sum(xr, yp, t=self.res_balance)
+            if self.clip_act is not None:
+                xo = jnp.clip(xo, -self.clip_act, self.clip_act)
+            x = fc.unpack_out(xo, h_, w_, self.out_channels)
+            return x, dict(conv_res0=c0, conv_res1=c1)
+
         if self.flavor == "enc":
             if in_channels != self.out_channels:
                 x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
             x = normalize(x, axis=-1)  # pixel norm
 
-        # On TPU in train mode the conv + its preceding elementwise transform
-        # (mp_silu, noise-embedding modulation) run as one fused Pallas
-        # kernel (ops/fused_conv.py); the unfused path is the reference.
-        use_fused, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
-        emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
-        c = MPConv(self.out_channels, (), name="emb_linear")(emb, gain=emb_gain) + 1
         if use_fused:
-            # Both convs run in the kernel's packed layout; only one
-            # pack / unpack pair per Block (repad_packed re-inserts the
-            # H-padding between them at ~1x traffic).
             from ..ops import fused_conv as fc
             h_, w_ = x.shape[2:4]
             yp, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3),
