@@ -7,3 +7,19 @@ caches, EDM2 magnitude-preserving UNet, group-causal video VAE, EDM sampler,
 power-function EMA, and SPMD data/tensor parallelism over TPU meshes.
 """
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the Pallas kernels add many per-shape
+# Mosaic compiles (~minutes cold on the remote AOT service); cached
+# executables make every process after the first start in seconds.
+# Opt out with AD_TPU_COMPILE_CACHE=0 or point it at another directory.
+_cache = _os.environ.get("AD_TPU_COMPILE_CACHE",
+                         _os.path.expanduser("~/.cache/ad_tpu_xla"))
+if _cache not in ("0", ""):
+    try:
+        import jax as _jax
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -459,7 +459,14 @@ def _specs(t, cp, cop, l):
     return xq, w2, w3, cvq, gates
 
 
-_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
+def _vmem_params(*byte_counts):
+    """Scoped-VMEM limit sized to the call (double-buffered blocks + live
+    values); a blanket high limit starves XLA's scheduling of neighboring
+    ops, a blanket low one OOMs the big level-0 backward."""
+    need = int(sum(byte_counts) * 2.5) + 8 * 1024 * 1024
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(need, 32 * 1024 * 1024),
+                             124 * 1024 * 1024))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -510,7 +517,10 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((9 * cp, hw), mm_dtype),
                         pltpu.VMEM((2, cp, l), F32)],
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(
+            t * 2 * cp * l * 2 * 2, t * 2 * cop * hw * 2 * (3 if with_ctx
+                                                            else 1),
+            9 * cp * hw * 2, 2 * cp * l * 4),
         interpret=interpret,
     )(xp, w2p, w3p, cv, gates.astype(F32)[:, :, None])
     if with_ctx:
@@ -602,7 +612,9 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
             pltpu.VMEM((cop, l), F32),
             pltpu.VMEM((3, cp, l), F32),
         ],
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(
+            t * 2 * cp * l * 2 * 3, t * 2 * cop * hw * 2 * 3,
+            9 * cop * l * 4, 3 * cp * l * 4, 2 * 9 * cop * cp * 4),
         interpret=interpret,
     )(xp, w2t, w3at, w3bt, cv, gates.astype(F32)[:, :, None],
       gout, y2d_res, ctx_res)
