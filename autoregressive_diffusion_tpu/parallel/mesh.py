@@ -27,17 +27,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(tp: int = 1, devices=None) -> Mesh:
-    """('data', 'model') mesh with `tp`-way tensor parallelism; 'model' is
-    the minor (fastest/ICI-nearest) axis."""
+def create_mesh(tp: int = 1, devices=None, num_slices: Optional[int] = None
+                ) -> Mesh:
+    """('replica', 'data', 'model') mesh with `tp`-way tensor parallelism.
+
+    'model' is the minor (fastest / ICI-nearest) axis; 'replica' is the
+    outermost axis and spans TPU slices, so only pure data-parallel
+    gradient all-reduces cross the slower DCN links while tensor-parallel
+    collectives stay on ICI within a slice. Slice count is taken from the
+    devices' `slice_index` when present (real multi-slice topologies) or
+    from `num_slices` (virtual-device tests); single-slice meshes get
+    replica=1 and behave exactly like the previous ('data','model') mesh.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-    arr = np.asarray(devices).reshape(n // tp, tp)
-    return Mesh(arr, ("data", "model"))
+    if num_slices is None:
+        slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+        num_slices = len(slice_ids)
+        if num_slices > 1:
+            # group devices by slice so 'replica' really is the DCN axis
+            by_slice = {s: [] for s in slice_ids}
+            for d in devices:
+                by_slice[getattr(d, "slice_index", 0)].append(d)
+            sizes = {len(v) for v in by_slice.values()}
+            assert len(sizes) == 1, f"uneven slices: {by_slice}"
+            devices = [d for s in slice_ids for d in by_slice[s]]
+    assert n % (num_slices * tp) == 0, (n, num_slices, tp)
+    arr = np.asarray(devices).reshape(num_slices, n // (num_slices * tp), tp)
+    return Mesh(arr, ("replica", "data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    if "replica" in mesh.shape:
+        return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
 
 

@@ -48,7 +48,7 @@ def test_sharded_step_matches_single_device(setup):
 
     # dp=4 x tp=2 mesh
     mesh = create_mesh(tp=2)
-    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    assert dict(mesh.shape) == {"replica": 1, "data": 4, "model": 2}
     sharded_state, state_shardings = shard_train_state(state, mesh,
                                                        min_shard_size=32)
     # at least one weight is actually split over 'model'
@@ -67,6 +67,39 @@ def test_sharded_step_matches_single_device(setup):
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(ref_metrics["loss"]), rtol=2e-4)
     # updated params agree with the single-device step
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     new_state.params, ref_state.params)
+    assert max(jax.tree.leaves(d)) < 2e-4
+
+
+def test_multislice_mesh_step_matches_single_device(setup):
+    """2 slices x dp=2 x tp=2: the 'replica' (DCN) axis carries pure data
+    parallelism; the step must agree with the single-device result. The
+    reference has no multi-slice story at all (DDP within one NCCL world,
+    SURVEY.md section 2.7)."""
+    model, tx, state, step = setup
+    images = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8, 8, 4))
+    key = jax.random.PRNGKey(2)
+    ref_state, ref_metrics = jax.jit(step, static_argnames=("just_2d",))(
+        state, images, None, key)
+
+    mesh = create_mesh(tp=2, num_slices=2)
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    sharded_state, state_shardings = shard_train_state(state, mesh,
+                                                       min_shard_size=32)
+    images_s = jax.device_put(images, batch_sharding(mesh))
+    # the batch is split over replica x data (8 ways total)
+    assert images_s.sharding.spec == jax.sharding.PartitionSpec(
+        ("replica", "data"))
+    step_j = jax.jit(step, static_argnames=("just_2d",),
+                     in_shardings=(state_shardings, batch_sharding(mesh),
+                                   None, replicated(mesh)),
+                     out_shardings=(state_shardings, None))
+    new_state, metrics = step_j(sharded_state, images_s, None,
+                                jax.device_put(key, replicated(mesh)))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      new_state.params, ref_state.params)
     assert max(jax.tree.leaves(d)) < 2e-4
