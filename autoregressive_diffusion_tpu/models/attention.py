@@ -27,7 +27,8 @@ from flax import linen as nn
 
 from ..ops.attention import dense_attention
 from ..ops.flash_attention import (causal_frame_attention, dart_attention,
-                                   flash_supported)
+                                   flash_supported, full_attention,
+                                   full_flash_supported)
 from ..ops.numerics import mp_sum, normalize
 from ..ops.masks import train_frame_mask, expand_to_tokens
 from ..ops.rope import rope_qk
@@ -59,7 +60,13 @@ class VideoAttention(nn.Module):
 
         if just_2d:
             # per-frame attention; (b, m, t) are batch dims
-            o = dense_attention(q, k, v)
+            if full_flash_supported(hw, q.shape[-1]):
+                qf, kf, vf = (einops.rearrange(a, "b m t y c -> (b t) m y c")
+                              for a in (q, k, v))
+                o = einops.rearrange(full_attention(qf, kf, vf),
+                                     "(b t) m y c -> b m t y c", t=t)
+            else:
+                o = dense_attention(q, k, v)
         elif mode == "train":
             t_half = t // 2
             pos = jnp.arange(t_half)
@@ -144,11 +151,19 @@ class FrameAttention(nn.Module):
         if self.num_heads == 0:
             return x, cache
         b, t, h, w = x.shape[:4]
+        hw = h * w
         y = MPConv(self.channels * 3, (1, 1), name="attn_qkv")(x)
         y = einops.rearrange(y, "b t h w (s m c) -> s b m t (h w) c",
                              s=3, m=self.num_heads)
         q, k, v = normalize(y, axis=-1)
-        o = dense_attention(q, k, v)
+        if full_flash_supported(hw, q.shape[-1]):
+            # frames fold into the vmapped batch; heads stay the kernel's
+            qf, kf, vf = (einops.rearrange(a, "b m t y c -> (b t) m y c")
+                          for a in (q, k, v))
+            o = full_attention(qf, kf, vf)
+            o = einops.rearrange(o, "(b t) m y c -> b m t y c", t=t)
+        else:
+            o = dense_attention(q, k, v)
         y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
         y = MPConv(self.channels, (1, 1), name="attn_proj")(y)
         return mp_sum(x, y, t=self.attn_balance), cache

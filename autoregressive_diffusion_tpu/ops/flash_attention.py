@@ -140,6 +140,36 @@ def causal_frame_attention(q, k, v, n_frames: int, tokens_per_frame: int,
     return _apply("causal", q, k, v, n_frames, tokens_per_frame, interpret)
 
 
+@functools.lru_cache(maxsize=16)
+def _make_full_kernel(num_heads: int, seq: int, interpret: bool):
+    mask = mask_lib.MultiHeadMask(
+        [mask_lib.FullMask((seq, seq))] * num_heads)
+    with jax.ensure_compile_time_eval():
+        return splash.make_splash_mha(
+            mask, block_sizes=_block_sizes(seq),
+            head_shards=1, q_seq_shards=1, interpret=interpret)
+
+
+def full_attention(q, k, v, interpret: bool = False):
+    """Unmasked flash attention (FrameAttention's per-frame softmax,
+    reference attention_modules.py:93-119). q, k, v: (batch, heads, S, d);
+    the dense path materializes (S, S) fp32 logits per (batch, frame, head)
+    -- the dominant cost of the 16x16 frame-attention blocks -- while the
+    splash kernel streams them."""
+    b, h, s, d = q.shape
+    kernel = _make_full_kernel(h, s, interpret)
+    qs = (q * (1.0 / np.sqrt(d))).astype(q.dtype)
+    return jax.vmap(kernel)(qs, k, v)
+
+
+def full_flash_supported(seq_len: int, head_dim: int) -> bool:
+    import os
+    if os.environ.get("AD_TPU_FLASH") == "0":
+        return False
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return on_tpu and seq_len % 128 == 0 and head_dim >= 32
+
+
 def flash_supported(seq_len: int, head_dim: int) -> bool:
     """Conservative gate: splash needs TPU-tileable shapes; tiny CPU test
     shapes fall back to the dense path. AD_TPU_FLASH=0 disables, =1 forces
