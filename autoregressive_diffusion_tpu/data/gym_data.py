@@ -122,14 +122,21 @@ def batched(generator, batch_size: int, num_workers: int = 0,
     if num_workers <= 0:
         it = iter(generator)
         while True:
-            items = [next(it) for _ in range(batch_size)]
+            items = []
+            for _ in range(batch_size):
+                try:
+                    items.append(next(it))
+                except StopIteration:
+                    return  # drop the incomplete tail batch
             yield _collate(items)
 
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch * batch_size, batch_size))
+    _done = object()  # end-of-stream sentinel, one per worker
 
     def worker(gen):
         for item in gen:
             q.put(item)
+        q.put(_done)
 
     import copy
     for i in range(num_workers):
@@ -137,9 +144,19 @@ def batched(generator, batch_size: int, num_workers: int = 0,
         g.seed = None if generator.seed is None else generator.seed + i
         threading.Thread(target=worker, args=(g,), daemon=True).start()
 
+    finished = 0
+    items = []
     while True:
-        items = [q.get() for _ in range(batch_size)]
+        while len(items) < batch_size:
+            item = q.get()
+            if item is _done:
+                finished += 1
+                if finished == num_workers:
+                    return  # all generators exhausted; drop the tail
+                continue
+            items.append(item)
         yield _collate(items)
+        items = []
 
 
 def _collate(items):

@@ -80,3 +80,18 @@ def test_shard_striding(tmp_path):
         seen.append(vals)
     assert seen[0] | seen[1] == {0, 1, 2, 3}
     assert seen[0] & seen[1] == set()
+
+
+def test_batched_terminates_on_exhausted_generators():
+    """batched() must stop cleanly when its (finite) generators run dry --
+    it used to block forever on the queue, hanging training scripts whose
+    step count consumed the data exactly (gym_train draws one batch past
+    --steps before breaking)."""
+    from autoregressive_diffusion_tpu.data import (SyntheticVideoGenerator,
+                                                   batched)
+    gen = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=20)
+    # 4 workers x 20 samples = 80 -> exactly 10 batches of 8
+    assert sum(1 for _ in batched(gen, 8, num_workers=4)) == 10
+    # serial path drops the incomplete tail batch instead of raising
+    gen2 = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=20)
+    assert sum(1 for _ in batched(gen2, 8, num_workers=0)) == 2
