@@ -60,7 +60,7 @@ class VideoAttention(nn.Module):
 
         if just_2d:
             # per-frame attention; (b, m, t) are batch dims
-            if full_flash_supported(hw, q.shape[-1]):
+            if full_flash_supported(hw, q.shape[-1]) and b * t >= 16:
                 qf, kf, vf = (einops.rearrange(a, "b m t y c -> (b t) m y c")
                               for a in (q, k, v))
                 o = einops.rearrange(full_attention(qf, kf, vf),
@@ -156,7 +156,9 @@ class FrameAttention(nn.Module):
         y = einops.rearrange(y, "b t h w (s m c) -> s b m t (h w) c",
                              s=3, m=self.num_heads)
         q, k, v = normalize(y, axis=-1)
-        if full_flash_supported(hw, q.shape[-1]):
+        # the kernel's per-call overhead loses below training-scale batches
+        # (batch-1 single-frame decode keeps the dense path)
+        if full_flash_supported(hw, q.shape[-1]) and b * t >= 16:
             # frames fold into the vmapped batch; heads stay the kernel's
             qf, kf, vf = (einops.rearrange(a, "b m t y c -> (b t) m y c")
                           for a in (q, k, v))
