@@ -28,7 +28,8 @@ from flax import linen as nn
 from ..ops.attention import dense_attention
 from ..ops.flash_attention import (causal_frame_attention, dart_attention,
                                    flash_supported, full_attention,
-                                   full_flash_supported)
+                                   full_flash_supported,
+                                   prefill_cache_attention)
 from ..ops.numerics import mp_sum, normalize
 from ..ops.masks import train_frame_mask, expand_to_tokens
 from ..ops.rope import rope_qk
@@ -132,6 +133,13 @@ class VideoAttention(nn.Module):
         if cache is None and flash_supported(t * hw, qr.shape[-1]):
             # fresh prefill: Pallas frame-causal flash kernel
             o = causal_frame_attention(qr, kr, vr, t, hw)
+        elif (cache is not None and t > 1 and isinstance(frames, int)
+              and flash_supported(t * hw, qr.shape[-1])):
+            # warm-cache prefill: splash kernel over (new frames x full
+            # buffer) with a STATIC frame offset (threaded via the model's
+            # `prefill_offset` hint) -- avoids the dense (t*hw)x(f*hw)
+            # fallback at CS scale (reference attention_modules.py:72-75).
+            o = prefill_cache_attention(qr, kr, vr, t, tk, frames, hw)
         else:
             mask = jnp.repeat(jnp.repeat(fmask, hw, axis=0), hw, axis=1)
             o = dense_attention(qr, kr, vr, mask)

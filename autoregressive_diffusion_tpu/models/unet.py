@@ -174,11 +174,23 @@ class Block(nn.Module):
         # pixel norm, residual mp_sum and clip in the kernel's packed layout,
         # so the whole Block touches HBM in dense tiles.
         use_fused, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
+        # Both fused branches below chain convs in the kernel's PACKED layout
+        # (channels zero-padded to a multiple of 8). Conv params are sized
+        # from the packed tensor, and the second conv asserts its input
+        # channel count is already a padded multiple -- so the fused path is
+        # only taken when no padding would occur; otherwise train-mode params
+        # would be shape-incompatible with eval-mode params, and e.g.
+        # out_channels=12 would trip fused_conv._prep. The unfused path is
+        # always valid.
+        packed_ok = in_channels % 8 == 0 and self.out_channels % 8 == 0
+        # Dropout sits between the fused transform and conv_res1 (reference
+        # networks_edm2.py:78-79) and cannot be folded into the kernel's
+        # read; train with dropout runs the unfused path.
+        use_dropout = self.dropout > 0.0 and mode == "train"
         emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
         c = MPConv(self.out_channels, (), name="emb_linear")(emb, gain=emb_gain) + 1
-        # in_channels % 8: the packed layout zero-pads C to a multiple of 8,
-        # which would skew the pixel-norm divisor / skip einsum otherwise.
-        if use_fused and self.attention is None and in_channels % 8 == 0:
+        if (use_fused and self.attention is None and packed_ok
+                and not use_dropout):
             from ..ops import fused_conv as fc
             h_, w_ = x.shape[2:4]
             xp = fc.pack_x(x, h_, w_)
@@ -219,7 +231,7 @@ class Block(nn.Module):
                 x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
             x = normalize(x, axis=-1)  # pixel norm
 
-        if use_fused:
+        if use_fused and packed_ok and not use_dropout:
             from ..ops import fused_conv as fc
             h_, w_ = x.shape[2:4]
             yp, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3),
@@ -241,6 +253,9 @@ class Block(nn.Module):
                 mode, just_2d)
             y = y * c[:, :, None, None, :].astype(y.dtype)
             y = mp_silu(y)
+            if use_dropout:
+                # reference networks_edm2.py:78-79 (train-mode only)
+                y = nn.Dropout(rate=self.dropout, deterministic=False)(y)
             y, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res1")(
                 y, c_noise, frames, cache.get("conv_res1"), update_cache, mode, just_2d)
 
@@ -275,12 +290,18 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, c_noise: jax.Array, conditioning=None,
                  cache=None, update_cache: bool = False, mode: str = "train",
-                 just_2d: bool = False):
+                 just_2d: bool = False, prefill_offset=None):
         cfg = self.cfg
         if cache is None:
             cache = {}
         b, t = x.shape[:2]
         frames = cache.get("frames", jnp.int32(0))
+        if prefill_offset is not None:
+            # STATIC frame offset hint (jit-static kwarg): asserts the
+            # cache's frame counter and lets warm-cache prefill take the
+            # splash kernel (models/attention.py). One compile per offset
+            # bucket, like length bucketing.
+            frames = int(prefill_offset)
 
         out_gain = self.param("out_gain", nn.initializers.zeros, ())
         # out_res gating: result unused (reference :197, :235 commented out);
@@ -301,7 +322,8 @@ class UNet(nn.Module):
 
         # Encoder: append the ones channel (reference :221).
         x = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
-        new_cache = {"frames": new_frames if update_cache else frames}
+        new_cache = {"frames": jnp.asarray(
+            new_frames if update_cache else frames, jnp.int32)}
         skips = []
         blocks = {}
         for side, name, spec in cfg.block_layout():
@@ -375,7 +397,7 @@ class Precond(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, sigma: jax.Array, conditioning=None,
                  cache=None, update_cache: bool = False, mode: str = "train",
-                 just_2d: bool = False):
+                 just_2d: bool = False, prefill_offset=None):
         x = x.astype(jnp.float32)
         sigma = sigma.astype(jnp.float32)
         s = sigma[:, :, None, None, None]
@@ -387,5 +409,6 @@ class Precond(nn.Module):
 
         x_in = (c_in * x).astype(self.body_dtype)
         f_x, cache = UNet(self.cfg, name="unet")(
-            x_in, c_noise, conditioning, cache, update_cache, mode, just_2d)
+            x_in, c_noise, conditioning, cache, update_cache, mode, just_2d,
+            prefill_offset)
         return c_skip * x + c_out * f_x.astype(jnp.float32), cache

@@ -93,13 +93,49 @@ class CausalFrameMask(mask_lib._ComputableMask):
         return hash((type(self), self.n_frames, self.tokens_per_frame))
 
 
-def _block_sizes(seq_len: int):
+class PrefillMask(mask_lib._ComputableMask):
+    """Warm-cache prefill mask: `t_new` query frames entering a cache that
+    already holds `offset` frames, attending frame-causally over the FULL
+    `f_total`-frame KV buffer (absolute positions; unwritten slots beyond
+    offset+t_new are masked out by causality). Rectangular (t_new*hw,
+    f_total*hw). `offset` must be static -- one kernel per offset bucket,
+    like the reference's lru_cache'd masks per shape."""
+
+    def __init__(self, t_new: int, f_total: int, offset: int,
+                 tokens_per_frame: int, shard_count: int = 1):
+        self.t_new = t_new
+        self.f_total = f_total
+        self.offset = offset
+        self.tokens_per_frame = tokens_per_frame
+        hw = tokens_per_frame
+
+        def fn(q_ids, kv_ids):
+            return q_ids // hw + offset >= kv_ids // hw
+
+        super().__init__(shape=(t_new * hw, f_total * hw), mask_function=fn,
+                         shard_count=shard_count)
+
+    def __eq__(self, other):
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        return ((self.t_new, self.f_total, self.offset, self.tokens_per_frame)
+                == (other.t_new, other.f_total, other.offset,
+                    other.tokens_per_frame))
+
+    def __hash__(self):
+        return hash((type(self), self.t_new, self.f_total, self.offset,
+                     self.tokens_per_frame))
+
+
+def _block_sizes(seq_len: int, kv_len=None):
     import os
     b = min(int(os.environ.get("AD_TPU_FLASH_BLOCK", "512")), seq_len)
+    bkv = b if kv_len is None else min(
+        int(os.environ.get("AD_TPU_FLASH_BLOCK", "512")), kv_len)
     return splash.BlockSizes(
-        block_q=b, block_kv=b, block_kv_compute=b,
-        block_q_dkv=b, block_kv_dkv=b, block_kv_dkv_compute=b,
-        block_q_dq=b, block_kv_dq=b,
+        block_q=b, block_kv=bkv, block_kv_compute=bkv,
+        block_q_dkv=b, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+        block_q_dq=b, block_kv_dq=bkv,
     )
 
 
@@ -138,6 +174,30 @@ def causal_frame_attention(q, k, v, n_frames: int, tokens_per_frame: int,
                            interpret: bool = False):
     """Frame-causal flash attention (prefill). q,k,v: (b, heads, T*hw, d)."""
     return _apply("causal", q, k, v, n_frames, tokens_per_frame, interpret)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_prefill_kernel(num_heads: int, t_new: int, f_total: int,
+                         offset: int, tokens_per_frame: int, interpret: bool):
+    one = PrefillMask(t_new, f_total, offset, tokens_per_frame)
+    mask = mask_lib.MultiHeadMask([one] * num_heads)
+    with jax.ensure_compile_time_eval():
+        return splash.make_splash_mha(
+            mask, block_sizes=_block_sizes(one.shape[0], one.shape[1]),
+            head_shards=1, q_seq_shards=1, interpret=interpret)
+
+
+def prefill_cache_attention(q, k, v, t_new: int, f_total: int, offset: int,
+                            tokens_per_frame: int, interpret: bool = False):
+    """Warm-cache prefill: q (b, heads, t_new*hw, d) over the full KV buffer
+    k/v (b, heads, f_total*hw, d) with a static frame offset. Replaces the
+    dense (t_new*hw) x (f_total*hw) fallback at CS scale (reference prefill:
+    attention_modules.py:72-75)."""
+    b, h, s, d = q.shape
+    kernel = _make_prefill_kernel(h, t_new, f_total, offset,
+                                  tokens_per_frame, interpret)
+    qs = (q * (1.0 / np.sqrt(d))).astype(q.dtype)
+    return jax.vmap(kernel)(qs, k, v)
 
 
 @functools.lru_cache(maxsize=16)

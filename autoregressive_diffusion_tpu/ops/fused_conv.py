@@ -26,13 +26,14 @@ accumulating in fp32. Tap shifts are circular lane rolls; every lane that
 wraps corresponds to a W-edge position that the dx-mask zeroes anyway, so
 the roll needs no padding buffer.
 
-Grid design: ONE program per batch element, with a statically unrolled
-Python loop over the T frame pairs. Keeping the whole time axis in-program
-makes the causal context local: transformed clean frames are computed once
-and reused by the frames t+1 / t+2 that convolve over them, the ones-frame
-substitution at t < 2 becomes a static branch, and in the backward kernel
-every context gradient lands in this program's own dX block (no
-cross-program reassembly).
+Grid design: ONE program per batch element, with a jax.lax.fori_loop over
+the T frame pairs and ring-indexed scratch buffers. Keeping the whole time
+axis in-program makes the causal context local: transformed clean frames
+are stacked once into a ring scratch and reused by the frames t+1 / t+2
+that convolve over them, the ones-frame substitution at t < 2 becomes a
+ring slot preloaded with the ones frame, and in the backward kernel every
+context gradient lands in this program's own dX block (no cross-program
+reassembly).
 
 The backward pass is a second Pallas kernel (custom_vjp) that recomputes
 the tap stacks and produces dX, dW (grid-resident accumulation over the
@@ -152,26 +153,6 @@ def _stack_into(scr, base_row, xt, w: int, hw: int, masks):
             shifted = jnp.where(masks[dx], shifted, 0)
         scr[base_row + k * c: base_row + (k + 1) * c, :] = (
             shifted.astype(scr.dtype))
-
-
-def _unstack_acc(d_stack, gscr, w: int, hw: int, l: int, masks):
-    """Transpose of _stack_into: (9Cp, HW) tap grads -> (Cp, Lp) input grad.
-    gscr is a (Cp, Lp) scratch used to widen each tap row before the
-    inverse roll (wrapped lanes carry zeros or masked positions)."""
-    ninec = d_stack.shape[0]
-    c = ninec // 9
-    acc = None
-    for k, (dy, dx) in enumerate(_TAPS):
-        off = (1 + dy) * w + dx
-        g = d_stack[k * c:(k + 1) * c]
-        if dx != 0:
-            g = jnp.where(masks[dx], g, 0)
-        gscr[:, :hw] = g.astype(F32)
-        gscr[:, hw:] = jnp.zeros((c, l - hw), F32)
-        # lane rotates are 32-bit only on TPU, hence the f32 scratch
-        r = _roll(gscr[...], -off)
-        acc = r if acc is None else acc + r
-    return acc
 
 
 def _ones_interior(c: int, l: int, w: int, dtype=F32):

@@ -37,12 +37,15 @@ def edm_sampler(model, variables, cache, key, shape, conditioning=None,
                 guidance: float = 1.0, S_churn: float = 0.0,
                 S_min: float = 0.0, S_max: float = float("inf"),
                 S_noise: float = 1.0, update_cache: bool = True,
-                target: Optional[jax.Array] = None):
+                target: Optional[jax.Array] = None,
+                x_init: Optional[jax.Array] = None):
     """Sample one frame. Returns (x, mse_values, mse_pred_values, cache).
 
     `shape` = (b, 1, h, w, c) static. `target`, if given, is added to the
     initial noise and per-step MSEs are tracked (reference :45-47, :77-82);
-    cache is then NOT updated (reference :66).
+    cache is then NOT updated (reference :66). `x_init` injects the initial
+    noise (already scaled by sigma_max) instead of drawing it -- used by the
+    golden parity tests to replay a recorded reference trajectory.
     """
     b = shape[0]
     t_steps = karras_schedule(num_steps, sigma_min, sigma_max, rho)
@@ -68,7 +71,10 @@ def edm_sampler(model, variables, cache, key, shape, conditioning=None,
         return ref_dx + (d_x - ref_dx) * guidance, cache
 
     key, k0 = jax.random.split(key)
-    x_next = jax.random.normal(k0, shape, jnp.float32) * float(t_steps[0])
+    if x_init is None:
+        x_next = jax.random.normal(k0, shape, jnp.float32) * float(t_steps[0])
+    else:
+        x_next = x_init.astype(jnp.float32)
     if target is not None:
         x_next = x_next + target.astype(jnp.float32)
 
@@ -129,3 +135,63 @@ def generate(model, variables, cache, key, n_frames: int, shape,
                             conditioning=conditioning)
         frames.append(x)
     return jnp.concatenate(frames, axis=1), cache
+
+
+def make_sampler_callback(model, num_mse_steps: int = 32,
+                          n_context: int = 4, n_prefill: int = 2,
+                          n_rollout: int = 4, sigma_prefill: float = 0.05):
+    """Eval-time training feedback (reference sampler.py:91-146
+    `sampler_training_callback`, wired at gym_train.py:115-130).
+
+    Returns callback(variables, latents, key) -> (mse_steps, mse_pred,
+    rollout_latents):
+      1. prefill `n_context` frames at sigma=0.05, then denoise the next
+         frame with per-step MSE against the ground truth (sigma_max=3,
+         32 steps, S_churn=20 -- reference :100-112);
+      2. prefill `n_prefill` frames and roll out `n_rollout` frames
+         autoregressively (sigma_max=80 -- reference :127-132), returning
+         (prefill + generated) latents for VAE decode by the caller.
+
+    All device functions are jitted ONCE here; calling the callback every
+    dashboard interval reuses the compiled executables.
+    """
+    from ..models.cache import init_cache
+
+    prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True))
+    mse_sampler = jax.jit(
+        partial(edm_sampler, model, num_steps=num_mse_steps, sigma_max=3.0,
+                rho=7.0, S_churn=20.0, update_cache=False),
+        static_argnames=("shape",))
+    roll_sampler = jax.jit(
+        partial(edm_sampler, model, num_steps=num_mse_steps, sigma_max=80.0,
+                rho=7.0, S_churn=20.0),
+        static_argnames=("shape",))
+
+    def callback(variables, latents, key):
+        lat = latents[:1]  # one sample is enough for the dashboard
+        b, _, h, w, c = lat.shape
+        shape = (b, 1, h, w, c)
+
+        # (1) per-step denoising MSE against a held-out frame
+        ctx, target = lat[:, :n_context], lat[:, n_context:n_context + 1]
+        sig = jnp.full((b, n_context), sigma_prefill, jnp.float32)
+        cache = init_cache(model, variables, batch_size=b)
+        _, cache = prefill(variables, ctx, sig, cache=cache)
+        key, k = jax.random.split(key)
+        _, mses, mses_pred, _ = mse_sampler(variables, cache, k, shape=shape,
+                                            target=target)
+
+        # (2) autoregressive rollout from a short prefill
+        pre = lat[:, :n_prefill]
+        sigp = jnp.full((b, n_prefill), sigma_prefill, jnp.float32)
+        cache = init_cache(model, variables, batch_size=b)
+        _, cache = prefill(variables, pre, sigp, cache=cache)
+        frames = [pre]
+        for _ in range(n_rollout):
+            key, k = jax.random.split(key)
+            x, _, _, cache = roll_sampler(variables, cache, k, shape=shape)
+            frames.append(x)
+        rollout = jnp.concatenate(frames, axis=1)
+        return np.asarray(mses), np.asarray(mses_pred), rollout
+
+    return callback

@@ -1,6 +1,6 @@
 from .loss import EDM2LossConfig, edm2_loss, learning_rate_schedule, top_losses
-from .loss_weight import (MultiNoiseState, fourier_basis, fourier_eval,
-                          init_coefs)
+from .loss_weight import (MultiNoiseState, fit_and_broadcast, fourier_basis,
+                          fourier_eval, init_coefs)
 from .ema import (ema_update, init_ema, power_function_beta, std_to_exp,
                   exp_to_std, solve_posthoc_coefficients,
                   traditional_ema_beta)

@@ -30,32 +30,59 @@ class EDM2LossConfig:
 
 def edm2_loss(model, variables, images: jax.Array, key: jax.Array,
               cfg: EDM2LossConfig, conditioning: Optional[jax.Array] = None,
-              coefs: Optional[jax.Array] = None, just_2d: bool = False):
+              coefs: Optional[jax.Array] = None, just_2d: bool = False,
+              sample_offset=0, sigma: Optional[jax.Array] = None,
+              noise: Optional[jax.Array] = None):
     """images: (b, t, h, w, c) latents. Returns (scalar_loss, aux) where aux
     carries the per-frame sigmas and weighted losses for the loss-fit history
-    plus the unweighted mean (reference loss.py:17-47)."""
-    b, t = images.shape[:2]
-    k_sig, k_ctx, k_noise = jax.random.split(key, 3)
+    plus the unweighted mean (reference loss.py:17-47).
 
-    sigma_noisy = jnp.exp(
-        jax.random.normal(k_sig, (b, t)) * cfg.P_std + cfg.P_mean)
+    sigma/noise are drawn from PER-SAMPLE keys `fold_in(key, sample_offset+i)`
+    so gradient accumulation over microbatch slices (train_state.py) samples
+    exactly what the full batch would -- scan-accumulation == full-batch step
+    is testable (and tested). Dropout (if enabled) is the one exception: its
+    mask is drawn per forward call, not per sample.
+
+    Passing `sigma` (b, 2t or t) and `noise` (same shape as the DART concat)
+    bypasses the sampling -- the reference's own `sigma=None` injection hook
+    (loss.py:25), used by the golden parity tests.
+    """
+    b, t = images.shape[:2]
+    k_drop = jax.random.fold_in(key, 0x7FFFFFFF)
+
     if just_2d:
         cat_images = images
-        sigma = sigma_noisy
         cond = conditioning
     else:
         cat_images = jnp.concatenate([images, images], axis=1)
-        sigma_ctx = (jax.random.uniform(k_ctx, (b, 1))
-                     * cfg.context_noise_reduction)
-        sigma_ctx = jnp.broadcast_to(sigma_ctx, (b, t))
-        sigma = jnp.concatenate([sigma_ctx, sigma_noisy], axis=1)
         cond = (jnp.concatenate([conditioning, conditioning], axis=1)
                 if conditioning is not None else None)
 
-    noise = sigma[:, :, None, None, None] * jax.random.normal(
-        k_noise, cat_images.shape, cat_images.dtype)
+    def draw(i):
+        k_sig, k_ctx, k_noise = jax.random.split(jax.random.fold_in(key, i), 3)
+        sig_noisy = jnp.exp(
+            jax.random.normal(k_sig, (t,)) * cfg.P_std + cfg.P_mean)
+        if just_2d:
+            sig = sig_noisy
+        else:
+            sig_ctx = (jax.random.uniform(k_ctx, ())
+                       * cfg.context_noise_reduction)
+            sig = jnp.concatenate(
+                [jnp.broadcast_to(sig_ctx, (t,)), sig_noisy])
+        eps = jax.random.normal(k_noise, cat_images.shape[1:],
+                                cat_images.dtype)
+        return sig, eps
+
+    if sigma is None:
+        sigma, eps = jax.vmap(draw)(sample_offset + jnp.arange(b))
+        noise = sigma[:, :, None, None, None] * eps
+    elif noise is None:
+        eps = jax.random.normal(jax.random.fold_in(key, 0),
+                                cat_images.shape, cat_images.dtype)
+        noise = sigma[:, :, None, None, None] * eps
     out, _ = model.apply(variables, cat_images + noise, sigma, cond,
-                         mode="train", just_2d=just_2d)
+                         mode="train", just_2d=just_2d,
+                         rngs={"dropout": k_drop})
     denoised = out[:, -t:]
     errors = (denoised - images) ** 2
     losses = jnp.mean(errors, axis=(-1, -2, -3))  # (b, t)

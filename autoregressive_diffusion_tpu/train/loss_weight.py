@@ -80,3 +80,22 @@ class MultiNoiseState:
         target = np.log10(y[m].astype(np.float64))[:, None]
         sol, *_ = np.linalg.lstsq(basis, target, rcond=None)
         return sol.astype(np.float32)
+
+
+def fit_and_broadcast(state: MultiNoiseState) -> np.ndarray:
+    """Rank-0 fit + broadcast to every process (the dist.broadcast of
+    reference loss_weight.py:122-149).
+
+    Only process 0 accumulates history (scripts guard `add_data` with
+    `jax.process_index() == 0`), so only its fit is meaningful; every other
+    process must receive p0's coefficients or the replicated `coefs` train-
+    state arrays silently diverge across hosts. Single-process runs return
+    the local fit unchanged.
+    """
+    if jax.process_count() == 1:
+        return state.fit()
+    coefs = (state.fit() if jax.process_index() == 0
+             else np.zeros((NUM_BASIS, 1), np.float32))
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.broadcast_one_to_all(coefs),
+                      np.float32)

@@ -60,10 +60,12 @@ def make_train_step(model, loss_cfg: EDM2LossConfig, tx,
     """
     ema_gammas = None  # resolved lazily from state.ema_stds
 
-    def loss_for(params, state, images, conditioning, key, just_2d):
+    def loss_for(params, state, images, conditioning, key, just_2d,
+                 sample_offset=0):
         variables = {"params": params, "buffers": state.buffers}
         return edm2_loss(model, variables, images, key, loss_cfg,
-                         conditioning, state.coefs, just_2d)
+                         conditioning, state.coefs, just_2d,
+                         sample_offset=sample_offset)
 
     def grads_of(state, images, conditioning, key, just_2d):
         b = images.shape[0]
@@ -78,17 +80,22 @@ def make_train_step(model, loss_cfg: EDM2LossConfig, tx,
         imgs = images.reshape((n, microbatch) + images.shape[1:])
         conds = (conditioning.reshape((n, microbatch) + conditioning.shape[1:])
                  if conditioning is not None else None)
-        keys = jax.random.split(key, n)
+        # Per-sample RNG: slice j draws samples [j*m, (j+1)*m) from the SAME
+        # folded-key stream the full batch would, so accumulation == full
+        # batch exactly (guarded by
+        # tests/test_training.py::test_train_step_microbatch_matches_full).
+        offsets = jnp.arange(n) * microbatch
 
         def body(carry, inp):
             g_acc, l_acc, u_acc = carry
             if conds is not None:
-                im, cd, k = inp
+                im, cd, off = inp
             else:
-                im, k = inp
+                im, off = inp
                 cd = None
             (loss, aux), grads = jax.value_and_grad(
-                loss_for, has_aux=True)(state.params, state, im, cd, k, just_2d)
+                loss_for, has_aux=True)(state.params, state, im, cd, key,
+                                        just_2d, off)
             g_acc = jax.tree.map(lambda a, g: a + g / n, g_acc, grads)
             return (g_acc, l_acc + loss / n, u_acc + aux["unweighted"] / n), \
                 (aux["sigma"], aux["losses"])
@@ -96,7 +103,7 @@ def make_train_step(model, loss_cfg: EDM2LossConfig, tx,
         g0 = jax.tree.map(jnp.zeros_like, state.params)
         (grads, loss, unweighted), (sigs, lss) = jax.lax.scan(
             body, (g0, jnp.float32(0), jnp.float32(0)),
-            (imgs, conds, keys) if conds is not None else (imgs, keys))
+            (imgs, conds, offsets) if conds is not None else (imgs, offsets))
         aux = dict(sigma=sigs.reshape(-1, sigs.shape[-1]),
                    losses=lss.reshape(-1, lss.shape[-1]),
                    unweighted=unweighted)

@@ -173,3 +173,91 @@ def export_2d_state(variables, cfg) -> Dict[str, np.ndarray]:
         sd["emb_fourier.freqs"] = np.asarray(unet_b["emb_fourier_sigma"]["freqs"])
         sd["emb_fourier.phases"] = np.asarray(unet_b["emb_fourier_sigma"]["phases"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Full 3D reference-checkpoint import (for golden parity tests and for
+# loading checkpoints trained with the PyTorch reference itself).
+# ---------------------------------------------------------------------------
+
+def _conv3d_w(w: np.ndarray) -> np.ndarray:
+    """torch (O, I, kt, kh, kw) -> ours (kt, kh, kw, I, O)."""
+    assert w.ndim == 5, f"expected OIDHW conv3d weight, got {w.shape}"
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _import_gating(params: dict, sd, prefix: str):
+    """Reference edm2/conv.py:104-110 Gating parameters."""
+    _set(params, ("offset",), sd[prefix + ".offset"])
+    _set(params, ("mult",), sd[prefix + ".mult"])
+    _set(params, ("max_gating",), sd[prefix + ".max_gating"].reshape(()))
+    _set(params, ("min_gating",), sd[prefix + ".min_gating"].reshape(()))
+
+
+def _import_causal_conv_3d(params: dict, sd, prefix: str):
+    """Full MPCausal3DGatedConv (reference conv.py:49-101): 2D last-frame
+    conv + (kt-1) temporal context conv + gating. Reference MPConv wraps its
+    parameter in NormalizedWeight, hence the `.weight.weight` names."""
+    _set(params, ("last_frame_conv", "w"),
+         _conv_w(sd[prefix + ".last_frame_conv.weight.weight"]))
+    if "w" in params:  # absent when the module was only traced just_2d
+        _set(params, ("w",), _conv3d_w(sd[prefix + ".weight.weight"]))
+    if "gating" in params:
+        _import_gating(params["gating"], sd, prefix + ".gating")
+
+
+def _import_block_3d(params: dict, sd, prefix: str, num_heads: int = 0):
+    _import_causal_conv_3d(params["conv_res0"], sd, prefix + ".conv_res0")
+    _import_causal_conv_3d(params["conv_res1"], sd, prefix + ".conv_res1")
+    if prefix + ".conv_skip.weight.weight" in sd:
+        _set(params, ("conv_skip", "w"),
+             _conv_w(sd[prefix + ".conv_skip.weight.weight"]))
+    _set(params, ("emb_linear", "w"),
+         _dense_w(sd[prefix + ".emb_linear.weight.weight"]))
+    _set(params, ("emb_gain",), sd[prefix + ".emb_gain"].reshape(()))
+    if prefix + ".attn_qkv.weight.weight" in sd and "attn" in params:
+        qkv = _qkv_mcs_to_smc(sd[prefix + ".attn_qkv.weight.weight"],
+                              num_heads)
+        _set(params, ("attn", "attn_qkv", "w"), _conv_w(qkv))
+        _set(params, ("attn", "attn_proj", "w"),
+             _conv_w(sd[prefix + ".attn_proj.weight.weight"]))
+
+
+def import_torch_3d(variables, sd, cfg):
+    """Import a FULL reference 3D UNet state dict (torch naming, e.g.
+    `enc.16x16_block0.conv_res0.weight.weight`) into this build's Flax
+    variables. Unlike `import_torch_edm2` (2D bootstrap subset,
+    networks_edm2.py:238-258) this maps every parameter: temporal context
+    convs, gating, out_res. Used by tests/test_reference_parity.py."""
+    from flax.core import unfreeze
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    variables = jax.tree.map(lambda x: np.array(x), unfreeze(variables),
+                             is_leaf=lambda x: x is None)
+    root = variables["params"]
+    unet_p = root["unet"] if "unet" in root else root
+    buf_root = variables.get("buffers", {})
+    unet_b = buf_root.get("unet", buf_root)
+
+    for side, name, spec in cfg.block_layout():
+        if side == "out":
+            _import_causal_conv_3d(unet_p["out_conv"], sd, "out_conv")
+            continue
+        prefix = f"{side}.{name}"
+        target = unet_p[f"{side}_{name}"]
+        if spec["kind"] == "conv":
+            _import_causal_conv_3d(target, sd, prefix)
+        else:
+            _import_block_3d(target, sd, prefix,
+                             num_heads=spec["cout"] // cfg.channels_per_head)
+
+    _set(unet_p, ("emb_noise", "w"), _dense_w(sd["emb_noise.weight.weight"]))
+    if cfg.label_dim and "emb_label.weight.weight" in sd:
+        _set(unet_p, ("emb_label", "w"),
+             _dense_w(sd["emb_label.weight.weight"]))
+    _set(unet_p, ("out_gain",), sd["out_gain"].reshape(()))
+    _import_gating(unet_p["out_res"], sd, "out_res")
+    if "emb_fourier_sigma" in unet_b:
+        _set(unet_b, ("emb_fourier_sigma", "freqs"), sd["emb_fourier_sigma.freqs"])
+        _set(unet_b, ("emb_fourier_sigma", "phases"), sd["emb_fourier_sigma.phases"])
+    return jax.tree.map(np.asarray, variables, is_leaf=lambda x: x is None)

@@ -100,7 +100,6 @@ def rollout():
     from autoregressive_diffusion_tpu.sampling.sampler import edm_sampler
     from functools import partial
 
-    cfg = _flagship = None
     from autoregressive_diffusion_tpu.models import UNetConfig
     cfg = UNetConfig(img_resolution=64, img_channels=8, label_dim=4,
                      model_channels=32, channel_mult=(1, 2, 4, 8),
@@ -155,7 +154,13 @@ def rollout():
 
 
 if __name__ == "__main__":
+    # One run emits BOTH target metrics (BASELINE.md: training samples/s/chip
+    # AND AR rollout frames/s), one JSON line each; --train-only/--rollout
+    # restrict to one.
     if "--rollout" in sys.argv:
         rollout()
+    elif "--train-only" in sys.argv:
+        main()
     else:
         main()
+        rollout()

@@ -1,9 +1,23 @@
 """Counter-Strike latent diffusion training, multi-chip data-parallel.
 
-Mirrors /root/reference/cs_train.py:31-175: streaming pre-encoded VAE
-latents, UNet(img_resolution=32, img_channels=8, model_channels=128,
-channel_mult=[1,2,4,4], video@4, frame@8), EDM2Loss(P_mean=0.9, P_std=1.0,
-context_noise_reduction=0.1), micro-batch accumulation, periodic loss-fit.
+Mirrors /root/reference/cs_train.py:31-175 knob-for-knob:
+
+| knob | value | reference |
+|---|---|---|
+| UNet | img_resolution=32, img_channels=8, label_dim=4, model_channels=128, channel_mult=[1,2,4,4], num_blocks=2, video@4, frame@8 | cs_train.py:35-44 |
+| batch / micro-batch | 8 / 2 | cs_train.py:58-59 |
+| clip length | 16 latent frames | cs_train.py:63 |
+| loss | EDM2Loss(P_mean=0.9, P_std=1.0, sigma_data=1.0, cnr=0.1) | cs_train.py:75 |
+| optimizer | AdamW(ref_lr=1e-2, eps=1e-4), grad clip 0.1 | cs_train.py:78 |
+| just_2d cadence | every 4th step (part of the DART mixed 2D/3D recipe) | cs_train.py:106 |
+| LR schedule | inverse-sqrt, ref_step = rampup = total/500 | cs_train.py:128 |
+| EMA | PowerFunctionEMA stds [0.050, 0.100] | cs_train.py:80 |
+| loss fit | every 500 steps, rank-0 fit + broadcast | cs_train.py:131, loss_weight.py:122-149 |
+
+The reference keeps label_dim=4 while passing actions=None (cs_train.py:104);
+actions stream through the CS data layer either way. This script does the
+same by default and `--use-actions` feeds them to the UNet's label
+embedding, enabling an action-conditioned CS world model.
 
 TPU-native distribution (SURVEY.md section 2.7): instead of
 torchrun/DDP/NCCL, the batch is sharded over the 'data' axis of a
@@ -28,7 +42,8 @@ def main():
     ap.add_argument("--steps", type=int, default=40_000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--micro-batch", type=int, default=2)
-    ap.add_argument("--clip-size", type=int, default=64, help="latent frames")
+    ap.add_argument("--clip-size", type=int, default=16,
+                    help="latent frames (reference cs_train.py:63)")
     ap.add_argument("--shards", default=None,
                     help="local .npz latent shard dir (cs_data.py)")
     ap.add_argument("--tp", type=int, default=1, help="tensor parallelism")
@@ -39,6 +54,9 @@ def main():
     ap.add_argument("--ref-lr", type=float, default=1e-2)
     ap.add_argument("--synthetic", action="store_true",
                     help="random latents (pipeline smoke test)")
+    ap.add_argument("--use-actions", action="store_true",
+                    help="condition the UNet on streamed actions (the "
+                         "reference keeps label_dim=4 but passes None)")
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.data import (LocalLatentShards,
@@ -50,15 +68,16 @@ def main():
                                                        shard_train_state)
     from autoregressive_diffusion_tpu.train import (
         EDM2LossConfig, MultiNoiseState, create_train_state,
-        learning_rate_schedule, make_optimizer, make_train_step)
+        fit_and_broadcast, learning_rate_schedule, make_optimizer,
+        make_train_step)
     from autoregressive_diffusion_tpu.utils import (latest_step,
                                                     restore_train_state,
                                                     save_train_state)
 
-    # reference cs_train.py:35-45
-    cfg = UNetConfig(img_resolution=32, img_channels=8, label_dim=0,
+    # reference cs_train.py:35-44
+    cfg = UNetConfig(img_resolution=32, img_channels=8, label_dim=4,
                      model_channels=128, channel_mult=(1, 2, 4, 4),
-                     num_blocks=3, video_attn_resolutions=(4,),
+                     num_blocks=2, video_attn_resolutions=(4,),
                      frame_attn_resolutions=(8,), max_frames=128)
     model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
 
@@ -68,13 +87,16 @@ def main():
     b, t = args.batch, args.clip_size
     x0 = jnp.zeros((b, 2 * t, 32, 32, 8))
     variables = jax.jit(model.init, static_argnames=("mode",))(
-        jax.random.PRNGKey(0), x0, jnp.ones((b, 2 * t)), mode="train")
+        jax.random.PRNGKey(0), x0, jnp.ones((b, 2 * t)),
+        jnp.zeros((b, 2 * t), jnp.int32), mode="train")
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
     print(f"# UNet: {n_params/1e6:.1f}M params")
 
-    sched = lambda s: learning_rate_schedule(s, args.ref_lr, args.steps / 50,
-                                             args.steps / 50)
-    tx = make_optimizer(learning_rate=sched, grad_clip=0.1)
+    # reference cs_train.py:128: ref_step = rampup = total/500
+    sched = lambda s: learning_rate_schedule(s, args.ref_lr, args.steps / 500,
+                                             args.steps / 500)
+    # reference cs_train.py:78: AdamW eps=1e-4
+    tx = make_optimizer(learning_rate=sched, grad_clip=0.1, eps=1e-4)
     state = create_train_state(model, variables, tx)
     state, shardings = shard_train_state(state, mesh)
 
@@ -102,10 +124,13 @@ def main():
 
         def synth():
             while True:
-                yield {"latents": rng.normal(size=(b, t, 32, 32, 8)).astype(np.float32)}
+                yield {"latents": rng.normal(size=(b, t, 32, 32, 8)).astype(np.float32),
+                       "actions": rng.integers(0, 4, size=(b, t))}
         loader = synth()
     else:
-        ds = LocalLatentShards(args.shards, clip_size=t)
+        ds = LocalLatentShards(args.shards, clip_size=t,
+                               rank=jax.process_index(),
+                               num_replicas=jax.process_count())
         loader = batched_latents(ds, b, normalize=(args.lat_mean, args.lat_std))
 
     noise_state = MultiNoiseState()
@@ -118,8 +143,16 @@ def main():
             break
         latents = jax.device_put(jnp.asarray(batch["latents"]),
                                  batch_sharding(mesh))
+        # label_dim=4 like the reference, which still passes actions=None
+        # (cs_train.py:104); --use-actions feeds the streamed actions.
+        actions = None
+        if args.use_actions and batch.get("actions") is not None:
+            actions = jax.device_put(
+                jnp.asarray(batch["actions"], jnp.int32),
+                batch_sharding(mesh))
         key, k = jax.random.split(key)
-        state, metrics = step_fn(state, latents, None, k)
+        state, metrics = step_fn(state, latents, actions, k,
+                                 just_2d=(i % 4 == 0))
         if is_p0:
             noise_state.add_data(metrics["sigma"], metrics["losses"])
             losses.append(float(metrics["unweighted"]))
@@ -127,9 +160,9 @@ def main():
             print(f"step {i}: loss={np.mean(losses[-20:]):.4f} "
                   f"{b*(i+1-start)/(time.time()-t0):.2f} samples/s", flush=True)
         if i % 500 == 0 and i > start:
-            # rank-0 fit, replicated coefficients (the dist.broadcast
-            # equivalent, reference loss_weight.py:122-149)
-            coefs = jnp.asarray(noise_state.fit())
+            # rank-0 fit + cross-process broadcast, then replicate over the
+            # mesh (reference loss_weight.py:122-149)
+            coefs = jnp.asarray(fit_and_broadcast(noise_state))
             state = state.replace(coefs=jax.device_put(coefs, replicated(mesh)))
         if i % 2000 == 0 and i > start and is_p0:
             save_train_state(args.ckpt_dir, int(state.step),

@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="synthetic moving-square data instead of gym")
     ap.add_argument("--ref-lr", type=float, default=1e-2)
+    ap.add_argument("--dashboard-every", type=int, default=500)
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.data import (GymDataGenerator,
@@ -50,6 +51,8 @@ def main():
                                                     restore_train_state,
                                                     save_model,
                                                     save_train_state)
+    from autoregressive_diffusion_tpu.models.vae import latents_to_frames
+    from autoregressive_diffusion_tpu.sampling import make_sampler_callback
     from autoregressive_diffusion_tpu.utils.plotting import \
         plot_training_dashboard
 
@@ -122,6 +125,10 @@ def main():
     loader = batched(gen, args.batch, num_workers=args.micro_batch)
 
     encode = jax.jit(lambda v, f: frames_to_latents(vae, v, f, lat_mean, lat_std))
+    decode = jax.jit(lambda v, z: latents_to_frames(vae, v, z, lat_mean, lat_std))
+    # eval rollout + per-step-MSE feedback loop, run every dashboard
+    # interval (reference sampler.py:91-146, gym_train.py:115-130)
+    eval_callback = make_sampler_callback(model)
 
     key = jax.random.PRNGKey(1234)
     t_start = time.time()
@@ -139,11 +146,17 @@ def main():
             sps = args.batch * (i + 1 - start) / (time.time() - t_start)
             print(f"step {i}: loss={np.mean(losses_history[-accumulation:]):.4f} "
                   f"lr={float(sched(i)):.6f} {sps:.1f} samples/s", flush=True)
-        if i % 500 == 0 and i > start:
+        if i % args.dashboard_every == 0 and i > start:
             state = state.replace(coefs=jnp.asarray(noise_state.fit()))
+            key, k = jax.random.split(key)
+            mse_steps, _, roll_lat = eval_callback(
+                {"params": state.params, "buffers": state.buffers},
+                latents, k)
+            roll_frames = np.asarray(decode(vae_vars, roll_lat))[0]
             plot_training_dashboard(
                 os.path.join(args.out_dir, f"dashboard_step_{i}.png"),
                 losses_history, i, noise_state, np.asarray(state.coefs),
+                mse_steps=mse_steps, rollout_frames=roll_frames,
                 unet_params=n_params)
         if i % max(args.steps // 40, 1) == 0 and i > start:
             save_model(os.path.join(args.ckpt_dir, f"unet_{n_params//10**6}M.ad"),

@@ -82,10 +82,22 @@ def main():
         group_mean = jnp.mean(mean, axis=(0, 1, 2, 3))
         kl_group = -0.5 * jnp.sum(1 + jnp.log(group_var)
                                   - group_mean**2 - group_var)
-        # hinged adversarial loss (reference :88-93)
-        logits = disc.apply(dv, jnp.concatenate([r_mean, r_mean], axis=-1),
-                            False)
-        ce = -jax.nn.log_softmax(logits, axis=-1)[..., 1] / np.log(2)
+        # hinged adversarial loss (reference :88-93). The reference's gym
+        # script scores a 3-channel discriminator(recon) against "real"; our
+        # MixedDiscriminator is the 6-channel which-half-is-real head
+        # (reference discriminator.py:304-329), so the generator is scored
+        # on the same both-orders (frames||recon, recon||frames) inputs the
+        # discriminator trains on, with flipped targets -- the same pairing
+        # models/discriminator.py::vae_adversarial_loss and
+        # cs_vae_adversarial.py use, kept per-element here for the hinge.
+        fr = jnp.concatenate([frames, r_mean], axis=-1)
+        rf = jnp.concatenate([r_mean, frames], axis=-1)
+        logits = disc.apply(dv, jnp.concatenate([fr, rf], axis=0), False)
+        n = frames.shape[0]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        # generator targets: misclassify (frames||recon)->0, (recon||frames)->1
+        ce = -jnp.concatenate([logp[:n, ..., 0], logp[n:, ..., 1]],
+                              axis=0) / np.log(2)
         adv = 2e-5 * jnp.mean(jax.nn.relu(ce - 1) ** 2)
         loss = recon + kl_group * 1e-3 + adv
         return loss, dict(recon=recon, kl_group=kl_group, adv=jnp.mean(ce))

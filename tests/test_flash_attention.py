@@ -68,3 +68,35 @@ def test_dart_kernel_gradients_match_dense():
     g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_out):
         assert float(jnp.abs(a - b).max()) < 1e-4
+
+
+def test_prefill_kernel_matches_dense():
+    """Warm-cache prefill: t_new query frames at a static offset over the
+    full f_total-frame KV buffer (models/attention.py warm-prefill path)."""
+    from autoregressive_diffusion_tpu.ops.flash_attention import (
+        PrefillMask, prefill_cache_attention)
+
+    key = jax.random.PRNGKey(3)
+    t_new, f_total, offset = 2, 8, 3
+    q = jax.random.normal(key, (B, H, t_new * HW, D))
+    k, v = jax.random.normal(jax.random.fold_in(key, 1),
+                             (2, B, H, f_total * HW, D))
+    # zero the unwritten future slots like a real cache buffer
+    written = (offset + t_new) * HW
+    k = k.at[:, :, written:].set(0)
+    v = v.at[:, :, written:].set(0)
+
+    fr = np.arange(f_total)
+    qf = offset + np.arange(t_new)
+    fmask = qf[:, None] >= fr[None, :]
+    mask = jnp.asarray(np.repeat(np.repeat(fmask, HW, 0), HW, 1))
+    ref = dense_attention(q, k, v, mask)
+    out = prefill_cache_attention(q, k, v, t_new, f_total, offset, HW,
+                                  interpret=True)
+    assert float(jnp.abs(ref - out).max()) < 1e-5
+
+    m = PrefillMask(t_new, f_total, offset, HW)
+    ids_q = np.arange(t_new * HW)
+    ids_k = np.arange(f_total * HW)
+    np.testing.assert_array_equal(
+        m.mask_function(ids_q[:, None], ids_k[None, :]), np.asarray(mask))

@@ -96,6 +96,7 @@ def test_fused_block_path_matches_xla_path():
     cond = jnp.zeros((b, 2 * t), jnp.int32)
 
     def run(fused):
+        prev = os.environ.get("AD_TPU_FUSED_CONV")
         os.environ["AD_TPU_FUSED_CONV"] = "interpret" if fused else "0"
         try:
             variables = model.init(jax.random.PRNGKey(7), x, sig, cond,
@@ -111,7 +112,10 @@ def test_fused_block_path_matches_xla_path():
                 loss, argnums=(0, 1), has_aux=True)(variables, x)
             return y, grads
         finally:
-            os.environ["AD_TPU_FUSED_CONV"] = "0"
+            if prev is None:
+                os.environ.pop("AD_TPU_FUSED_CONV", None)
+            else:
+                os.environ["AD_TPU_FUSED_CONV"] = prev
 
     y_r, g_r = run(False)
     y_f, g_f = run(True)

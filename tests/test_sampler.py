@@ -106,3 +106,22 @@ def test_guidance_churn_mse_path():
     # denoising toward the target: MSE decreases across steps
     assert float(mses[-1]) < float(mses[0])
     assert int(cache["frames"]) == 2
+
+
+def test_sampler_training_callback(model_setup):
+    """make_sampler_callback returns finite per-step MSEs and a rollout of
+    prefill+generated latents (reference sampler.py:91-146)."""
+    from autoregressive_diffusion_tpu.sampling import make_sampler_callback
+
+    model, variables = model_setup
+    cb = make_sampler_callback(model, num_mse_steps=4, n_context=3,
+                               n_prefill=2, n_rollout=2)
+    latents = jax.random.normal(jax.random.PRNGKey(5), (2, 5, 8, 8, 4))
+    mses, mses_pred, roll = cb(variables, latents, jax.random.PRNGKey(6))
+    assert mses.shape == (4,) and np.isfinite(mses).all()
+    assert mses_pred.shape == (4,) and np.isfinite(mses_pred).all()
+    assert roll.shape == (1, 4, 8, 8, 4)
+    assert np.isfinite(np.asarray(roll)).all()
+    # the prefill frames are passed through unchanged
+    np.testing.assert_allclose(np.asarray(roll[:, :2]),
+                               np.asarray(latents[:1, :2]), rtol=1e-6)

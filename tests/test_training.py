@@ -111,9 +111,12 @@ def test_train_step_updates(setup):
     norms = np.linalg.norm(np.asarray(w).reshape(-1, w.shape[-1]), axis=0)
     np.testing.assert_allclose(norms, np.sqrt(w.size / w.shape[-1]), rtol=1e-3)
 
-    # EMA moved toward the new params but is not equal to them
-    e0 = new_state.ema[0]["unet"]["out_gain"]
-    assert float(e0) != float(new_state.params["unet"]["out_gain"]) or True
+    # At step 1 beta = (1 - b/b)^(g+1) = 0: EMA must equal the new params
+    # (up to lerp rounding e + (p-e)*1, reference phema.py:104-108).
+    for e, p in zip(jax.tree.leaves(new_state.ema[0]),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p),
+                                   rtol=1e-6, atol=1e-7)
 
     # second step with just_2d
     new_state2, m2 = step_fn(new_state, images, cond, jax.random.PRNGKey(6),
@@ -121,27 +124,53 @@ def test_train_step_updates(setup):
     assert np.isfinite(float(m2["loss"]))
     assert int(new_state2.step) == 2
 
+    # At step 2 beta = 0.5^(gamma+1): ema2 == beta*p1 + (1-beta)*p2, strictly
+    # between the two wherever they differ.
+    beta = 0.5 ** (float(std_to_exp(new_state2.ema_stds[0])) + 1.0)
+    p1 = np.asarray(new_state.params["unet"]["out_gain"])
+    p2 = np.asarray(new_state2.params["unet"]["out_gain"])
+    e2 = np.asarray(new_state2.ema[0]["unet"]["out_gain"])
+    assert p1 != p2  # the step moved this param
+    np.testing.assert_allclose(e2, beta * p1 + (1 - beta) * p2,
+                               rtol=1e-6, atol=1e-7)
+    assert min(p1, p2) < e2 < max(p1, p2)
+
 
 def test_train_step_microbatch_matches_full():
-    """Gradient accumulation by scan must give the same optimizer step as the
-    full batch when per-microbatch RNG is accounted for -- here we just check
-    it runs and produces finite results with matching shapes."""
+    """Gradient accumulation by lax.scan over microbatches must produce the
+    SAME optimizer step as the full batch: sigma/noise are drawn from
+    per-sample folded keys (loss.py `draw`), so slice j of the scan samples
+    exactly what rows [j*m,(j+1)*m) of the full batch sample."""
     model = Precond(CFG, sigma_data=1.0)
     x = jnp.zeros((4, 2 * T, 8, 8, 4))
     sigma = jnp.ones((4, 2 * T))
     cond = jnp.zeros((4, 2 * T), jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), x, sigma, cond, mode="train")
     tx = make_optimizer(learning_rate=1e-3)
-    state = create_train_state(model, variables, tx)
-    step_fn = jax.jit(
-        make_train_step(model, EDM2LossConfig(), tx, batch_size=4,
-                        microbatch=2),
-        static_argnames=("just_2d",))
+    lcfg = EDM2LossConfig()
     images = jax.random.normal(jax.random.PRNGKey(7), (4, T, 8, 8, 4))
     cnd = jnp.zeros((4, T), jnp.int32)
-    new_state, metrics = step_fn(state, images, cnd, jax.random.PRNGKey(8))
-    assert np.isfinite(float(metrics["loss"]))
-    assert metrics["sigma"].shape == (4, T)
+    key = jax.random.PRNGKey(8)
+
+    step_micro = jax.jit(make_train_step(model, lcfg, tx, batch_size=4,
+                                         microbatch=2),
+                         static_argnames=("just_2d",))
+    step_full = jax.jit(make_train_step(model, lcfg, tx, batch_size=4),
+                        static_argnames=("just_2d",))
+    s_micro, m_micro = step_micro(create_train_state(model, variables, tx),
+                                  images, cnd, key)
+    s_full, m_full = step_full(create_train_state(model, variables, tx),
+                               images, cnd, key)
+
+    assert m_micro["sigma"].shape == (4, T)
+    np.testing.assert_allclose(np.asarray(m_micro["sigma"]),
+                               np.asarray(m_full["sigma"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_micro["unweighted"]),
+                               float(m_full["unweighted"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_micro.params),
+                    jax.tree.leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
 
 
 def test_scanned_step_matches_sequential(setup):

@@ -100,3 +100,36 @@ def test_precond_formulas():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(c_skip[:, :, None, None, None] * x),
         rtol=1e-5, atol=1e-5)
+
+
+def test_dropout_applied_in_train_only():
+    """dropout>0 must change train-mode outputs (per dropout rng) and leave
+    eval deterministic (reference networks_edm2.py:78-79)."""
+    cfg = UNetConfig(img_resolution=16, img_channels=8, label_dim=0,
+                     model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                     video_attn_resolutions=(16, 8), frame_attn_resolutions=(),
+                     channels_per_head=16, max_frames=16, dropout=0.3)
+    unet = UNet(cfg)
+    x = jnp.zeros((B, 2 * T, 16, 16, 8))
+    cn = jnp.zeros((B, 2 * T))
+    variables = unet.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)},
+                          x, cn, mode="train")
+    variables["params"]["out_gain"] = jnp.float32(1.0)
+
+    xr = jax.random.normal(jax.random.PRNGKey(2), (B, 2 * T, 16, 16, 8))
+    y1, _ = unet.apply(variables, xr, cn, mode="train",
+                       rngs={"dropout": jax.random.PRNGKey(3)})
+    y2, _ = unet.apply(variables, xr, cn, mode="train",
+                       rngs={"dropout": jax.random.PRNGKey(4)})
+    y3, _ = unet.apply(variables, xr, cn, mode="train",
+                       rngs={"dropout": jax.random.PRNGKey(3)})
+    assert float(jnp.abs(y1 - y2).max()) > 1e-6  # masks differ
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))  # same rng
+
+    # eval: no dropout rng needed, fully deterministic
+    xe = xr[:, :T]
+    cne = jnp.zeros((B, T))
+    e1, _ = unet.apply(variables, xe, cne, mode="eval")
+    e2, _ = unet.apply(variables, xe, cne, mode="eval")
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
