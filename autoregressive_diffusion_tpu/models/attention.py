@@ -42,6 +42,7 @@ class VideoAttention(nn.Module):
     num_heads: int
     attn_balance: float = 0.3
     max_frames: int = 64  # KV cache capacity (frames)
+    quant: bool = False   # decode-only int8 weights (layers.MPConv.quant)
 
     @nn.compact
     def __call__(self, x: jax.Array, cache=None, update_cache: bool = False,
@@ -50,7 +51,8 @@ class VideoAttention(nn.Module):
             return x, cache
         b, t, h, w = x.shape[:4]
         hw = h * w
-        y = MPConv(self.channels * 3, (1, 1), name="attn_qkv")(x)
+        y = MPConv(self.channels * 3, (1, 1), quant=self.quant,
+                   name="attn_qkv")(x)
         # qkv channel layout: (s m c) -- s outermost so the q/k/v split is a
         # contiguous slice (8% step win on TPU vs the reference's (m c s),
         # attention_modules.py:48; utils/import_2d.py permutes imported
@@ -103,7 +105,8 @@ class VideoAttention(nn.Module):
                 cache = {"k": kbuf, "v": vbuf}
 
         y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
-        y = MPConv(self.channels, (1, 1), name="attn_proj")(y)
+        y = MPConv(self.channels, (1, 1), quant=self.quant,
+                   name="attn_proj")(y)
         return mp_sum(x, y, t=self.attn_balance), cache
 
     def _eval_attention(self, q, k, v, cache, frames, b, t, hw):
@@ -152,6 +155,7 @@ class FrameAttention(nn.Module):
     channels: int
     num_heads: int
     attn_balance: float = 0.3
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, cache=None, update_cache: bool = False,
@@ -160,7 +164,8 @@ class FrameAttention(nn.Module):
             return x, cache
         b, t, h, w = x.shape[:4]
         hw = h * w
-        y = MPConv(self.channels * 3, (1, 1), name="attn_qkv")(x)
+        y = MPConv(self.channels * 3, (1, 1), quant=self.quant,
+                   name="attn_qkv")(x)
         y = einops.rearrange(y, "b t h w (s m c) -> s b m t (h w) c",
                              s=3, m=self.num_heads)
         q, k, v = normalize(y, axis=-1)
@@ -175,5 +180,6 @@ class FrameAttention(nn.Module):
         else:
             o = dense_attention(q, k, v)
         y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
-        y = MPConv(self.channels, (1, 1), name="attn_proj")(y)
+        y = MPConv(self.channels, (1, 1), quant=self.quant,
+                   name="attn_proj")(y)
         return mp_sum(x, y, t=self.attn_balance), cache

@@ -47,23 +47,40 @@ class MPConv(nn.Module):
 
     Reference: edm2/conv.py:27-46. Input layout: (..., C_in) for dense,
     (..., H, W, C_in) for conv (leading dims collapsed to batch).
+
+    quant=True is the DECODE-ONLY int8 weight path: the normalized weight
+    (normalize(w)/sqrt(fan_in), which forced weight normalization keeps
+    constant between optimizer steps) is prebaked, quantized per OUTPUT
+    channel to int8, and dequantized in-register at use. Batch-1
+    autoregressive decode is weight-read-bound on HBM; int8 reads cut the
+    weight bytes 4x vs fp32 (2x vs bf16) and skip the per-call
+    renormalization. Build such params with train/quantize.quantize_variables.
     """
     out_channels: int
     kernel: Tuple[int, ...] = ()
+    quant: bool = False
+
+    def _weight(self, shape, gain, dtype):
+        if self.quant:
+            w_q = self.param("w_q", lambda k: jnp.zeros(shape, jnp.int8))
+            scale = self.param(
+                "w_scale", lambda k: jnp.ones((self.out_channels,), jnp.float32))
+            w = w_q.astype(jnp.float32) * scale  # broadcast over out axis
+            return (w * gain).astype(dtype)
+        w = self.param("w", _randn, shape)
+        return mp_weight(w, gain).astype(dtype)
 
     @nn.compact
     def __call__(self, x: jax.Array, gain=1.0,
                  return_weight: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         if len(self.kernel) == 0:
-            w = self.param("w", _randn, (in_ch, self.out_channels))
-            w = mp_weight(w, gain).astype(x.dtype)
+            w = self._weight((in_ch, self.out_channels), gain, x.dtype)
             if return_weight:
                 return w
             return x @ w
         kh, kw = self.kernel
-        w = self.param("w", _randn, (kh, kw, in_ch, self.out_channels))
-        w = mp_weight(w, gain).astype(x.dtype)
+        w = self._weight((kh, kw, in_ch, self.out_channels), gain, x.dtype)
         if return_weight:
             return w
         if kh == kw == 1:
@@ -132,6 +149,7 @@ class MPCausalConv3d(nn.Module):
     """
     out_channels: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
+    quant: bool = False  # decode-only int8 weights (see MPConv.quant)
 
     @nn.compact
     def __call__(self, x: jax.Array, c_noise: jax.Array, frames=0,
@@ -149,9 +167,11 @@ class MPCausalConv3d(nn.Module):
         else:
             b, t_total, h, w, cin = x.shape
         kt, kh, kw = self.kernel
-        last_frame_conv = MPConv(self.out_channels, (kh, kw), name="last_frame_conv")
+        last_frame_conv = MPConv(self.out_channels, (kh, kw),
+                                 quant=self.quant, name="last_frame_conv")
 
         if fused:
+            assert not self.quant, "int8 weights are a decode-only path"
             # Pallas fused transform+conv+gate path (train mode only); the
             # XLA path below stays as the reference/eval implementation.
             # ops/fused_conv.py documents the layout rationale.
@@ -197,8 +217,16 @@ class MPCausalConv3d(nn.Module):
             return y2d, cache
 
         kt_ctx = kt - 1
-        w3 = self.param("w", _randn, (kt_ctx, kh, kw, cin, self.out_channels))
-        w3 = mp_weight(w3).astype(x.dtype)
+        if self.quant:
+            w3_q = self.param("w_q", lambda k: jnp.zeros(
+                (kt_ctx, kh, kw, cin, self.out_channels), jnp.int8))
+            w3_s = self.param("w_scale", lambda k: jnp.ones(
+                (self.out_channels,), jnp.float32))
+            w3 = (w3_q.astype(jnp.float32) * w3_s).astype(x.dtype)
+        else:
+            w3 = self.param("w", _randn,
+                            (kt_ctx, kh, kw, cin, self.out_channels))
+            w3 = mp_weight(w3).astype(x.dtype)
 
         gate, _ = Gating(name="gating")(
             c_noise, n_context_frames=frames, train=(mode == "train"))

@@ -53,6 +53,9 @@ class UNetConfig:
     dropout: float = 0.0
     max_frames: int = 64  # KV-cache capacity for autoregressive rollout
     remat: bool = False   # jax.checkpoint each Block (memory for flops)
+    # Decode-only int8 weight path (batch-1 rollout is weight-read-bound):
+    # build params with train/quantize.quantize_variables, eval mode only.
+    decode_quant: bool = False
 
     @property
     def cblock(self):
@@ -153,6 +156,7 @@ class Block(nn.Module):
     attn_balance: float = 0.3
     clip_act: Optional[float] = 256.0
     max_frames: int = 64
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, c_noise: jax.Array,
@@ -188,7 +192,8 @@ class Block(nn.Module):
         # read; train with dropout runs the unfused path.
         use_dropout = self.dropout > 0.0 and mode == "train"
         emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
-        c = MPConv(self.out_channels, (), name="emb_linear")(emb, gain=emb_gain) + 1
+        c = MPConv(self.out_channels, (), quant=self.quant,
+                   name="emb_linear")(emb, gain=emb_gain) + 1
         if (use_fused and self.attention is None and packed_ok
                 and not use_dropout):
             from ..ops import fused_conv as fc
@@ -228,7 +233,8 @@ class Block(nn.Module):
 
         if self.flavor == "enc":
             if in_channels != self.out_channels:
-                x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
+                x = MPConv(self.out_channels, (1, 1), quant=self.quant,
+                           name="conv_skip")(x)
             x = normalize(x, axis=-1)  # pixel norm
 
         if use_fused and packed_ok and not use_dropout:
@@ -248,7 +254,8 @@ class Block(nn.Module):
                 packed_hw=(h_, w_))
             y = fc.unpack_out(yp, h_, w_, self.out_channels)
         else:
-            y, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res0")(
+            y, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3), quant=self.quant,
+                                   name="conv_res0")(
                 mp_silu(x), c_noise, frames, cache.get("conv_res0"), update_cache,
                 mode, just_2d)
             y = y * c[:, :, None, None, :].astype(y.dtype)
@@ -256,22 +263,25 @@ class Block(nn.Module):
             if use_dropout:
                 # reference networks_edm2.py:78-79 (train-mode only)
                 y = nn.Dropout(rate=self.dropout, deterministic=False)(y)
-            y, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3), name="conv_res1")(
+            y, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3), quant=self.quant,
+                                   name="conv_res1")(
                 y, c_noise, frames, cache.get("conv_res1"), update_cache, mode, just_2d)
 
         if self.flavor == "dec" and in_channels != self.out_channels:
-            x = MPConv(self.out_channels, (1, 1), name="conv_skip")(x)
+            x = MPConv(self.out_channels, (1, 1), quant=self.quant,
+                           name="conv_skip")(x)
         x = mp_sum(x, y, t=self.res_balance)
 
         attn_cache = cache.get("attn")
         if self.attention == "video":
             x, attn_cache = VideoAttention(
                 self.out_channels, num_heads, self.attn_balance,
-                max_frames=self.max_frames, name="attn")(
+                max_frames=self.max_frames, quant=self.quant, name="attn")(
                     x, attn_cache, update_cache, frames, mode, just_2d)
         elif self.attention == "frame":
             x, attn_cache = FrameAttention(
-                self.out_channels, num_heads, self.attn_balance, name="attn")(
+                self.out_channels, num_heads, self.attn_balance,
+                quant=self.quant, name="attn")(
                     x, attn_cache, update_cache, frames, mode, just_2d)
 
         if self.clip_act is not None:
@@ -310,13 +320,15 @@ class UNet(nn.Module):
             c_noise, frames, just_2d=just_2d, train=(mode == "train"))
 
         # Embeddings (per-frame).
-        emb = MPConv(cfg.cemb, (), name="emb_noise")(
+        emb = MPConv(cfg.cemb, (), quant=cfg.decode_quant,
+                     name="emb_noise")(
             MPFourier(cfg.cnoise, name="emb_fourier_sigma")(c_noise))
         if cfg.label_dim != 0 and conditioning is not None:
             one_hot = jax.nn.one_hot(conditioning, cfg.label_dim,
                                      dtype=c_noise.dtype)
             one_hot = one_hot * math.sqrt(cfg.label_dim)
-            lab = MPConv(cfg.cemb, (), name="emb_label")(one_hot)
+            lab = MPConv(cfg.cemb, (), quant=cfg.decode_quant,
+                         name="emb_label")(one_hot)
             emb = mp_sum(emb, lab, t=1 / 3)
         emb = mp_silu(emb)
 
@@ -342,6 +354,7 @@ class UNet(nn.Module):
             if spec["kind"] == "conv":
                 uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
                 x, c = MPCausalConv3d(spec["cout"], (3, 3, 3),
+                                      quant=cfg.decode_quant,
                                       name=f"enc_{name}")(
                     x, c_noise, frames, sub, update_cache, mode, just_2d,
                     fused=uf, fused_interpret=fi)
@@ -353,6 +366,7 @@ class UNet(nn.Module):
                              dropout=cfg.dropout, res_balance=cfg.res_balance,
                              attn_balance=cfg.attn_balance,
                              clip_act=cfg.clip_act, max_frames=cfg.max_frames,
+                             quant=cfg.decode_quant,
                              name=f"enc_{name}")(
                     x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
             enc_cache[name] = c
@@ -369,12 +383,14 @@ class UNet(nn.Module):
                          dropout=cfg.dropout, res_balance=cfg.res_balance,
                          attn_balance=cfg.attn_balance,
                          clip_act=cfg.clip_act, max_frames=cfg.max_frames,
+                         quant=cfg.decode_quant,
                          name=f"dec_{name}")(
                 x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
             dec_cache[name] = c
 
         uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
-        x, out_c = MPCausalConv3d(cfg.img_channels, (3, 3, 3), name="out_conv")(
+        x, out_c = MPCausalConv3d(cfg.img_channels, (3, 3, 3),
+                              quant=cfg.decode_quant, name="out_conv")(
             x, c_noise, frames, cache.get("out_conv"), update_cache, mode,
             just_2d, fused=uf, fused_interpret=fi)
         x = x * out_gain

@@ -169,12 +169,13 @@ def make_sampler_callback(model, num_mse_steps: int = 32,
 
     def callback(variables, latents, key):
         lat = latents[:1]  # one sample is enough for the dashboard
-        b, _, h, w, c = lat.shape
+        b, t_lat, h, w, c = lat.shape
         shape = (b, 1, h, w, c)
+        n_ctx = min(n_context, t_lat - 1)  # clamp for short clips
 
         # (1) per-step denoising MSE against a held-out frame
-        ctx, target = lat[:, :n_context], lat[:, n_context:n_context + 1]
-        sig = jnp.full((b, n_context), sigma_prefill, jnp.float32)
+        ctx, target = lat[:, :n_ctx], lat[:, n_ctx:n_ctx + 1]
+        sig = jnp.full((b, n_ctx), sigma_prefill, jnp.float32)
         cache = init_cache(model, variables, batch_size=b)
         _, cache = prefill(variables, ctx, sig, cache=cache)
         key, k = jax.random.split(key)
@@ -182,8 +183,9 @@ def make_sampler_callback(model, num_mse_steps: int = 32,
                                             target=target)
 
         # (2) autoregressive rollout from a short prefill
-        pre = lat[:, :n_prefill]
-        sigp = jnp.full((b, n_prefill), sigma_prefill, jnp.float32)
+        n_pre = min(n_prefill, t_lat)
+        pre = lat[:, :n_pre]
+        sigp = jnp.full((b, n_pre), sigma_prefill, jnp.float32)
         cache = init_cache(model, variables, batch_size=b)
         _, cache = prefill(variables, pre, sigp, cache=cache)
         frames = [pre]

@@ -1,0 +1,70 @@
+"""Post-training int8 weight quantization for the autoregressive decode path.
+
+Batch-1 frame generation is weight-READ-bound: each of the sampler's
+num_steps x 2 denoiser calls streams every parameter from HBM to compute a
+single frame's activations. The decode-time weight is always
+normalize(w) / sqrt(fan_in) (forced weight normalization keeps the raw
+parameter unit-norm anyway, reference conv.py:8-21), so it can be PREBAKED
+once and stored as int8 with one fp32 scale per output channel:
+
+    w_decode = w_q.astype(f32) * w_scale        (in-register dequantize)
+
+cutting weight bytes 4x vs fp32 (2x vs bf16) and removing the per-call
+renormalization entirely. Unit-norm columns quantize benignly: max |entry|
+per column is ~O(1/sqrt(fan_in)) of the column scale, and the EDM
+preconditioner's c_skip/c_out contraction bounds output error.
+
+Build with `quantize_variables(variables, cfg)` and run the model built from
+`dataclasses.replace(cfg, decode_quant=True)` in eval mode (the train and
+fused paths assert the flag off). See models/layers.py MPConv.quant.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.numerics import mp_weight
+
+
+def quantize_weight(w: np.ndarray):
+    """(..., Co) normalized-at-rest weight -> (int8 w_q, f32 (Co,) scale)."""
+    wn = np.asarray(mp_weight(jnp.asarray(w, jnp.float32)), np.float32)
+    flat = wn.reshape(-1, wn.shape[-1])
+    scale = np.maximum(np.abs(flat).max(axis=0) / 127.0, 1e-12)
+    q = np.clip(np.rint(flat / scale), -127, 127).astype(np.int8)
+    return q.reshape(wn.shape), scale.astype(np.float32)
+
+
+def _walk(node):
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if k == "w" and getattr(v, "ndim", 0) >= 2:
+            q, s = quantize_weight(np.asarray(v))
+            out["w_q"], out["w_scale"] = q, s
+        else:
+            out[_walk_key(k)] = _walk(v)
+    return out
+
+
+def _walk_key(k):
+    return k
+
+
+def quantize_variables(variables, cfg=None):
+    """Return a variables dict for the `decode_quant=True` model: every MP
+    weight leaf named 'w' (rank >= 2) becomes ('w_q' int8, 'w_scale' f32);
+    scalars (gains, gating) and buffers pass through unchanged."""
+    variables = jax.tree.map(np.asarray, dict(variables),
+                             is_leaf=lambda x: x is None)
+    out = {k: (_walk(v) if k == "params" else v)
+           for k, v in variables.items()}
+    return out
+
+
+def quantized_config(cfg):
+    return dataclasses.replace(cfg, decode_quant=True)

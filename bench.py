@@ -94,10 +94,17 @@ def main():
 def rollout():
     """AR rollout frames/sec: prefill 6 context frames, generate frames with
     the EDM sampler (64 steps, rho=2, sigma in [0.4, 80] -- reference
-    generation_code.py:87-95 knobs) through the fixed-shape KV/conv cache."""
+    generation_code.py:87-95 knobs) through the fixed-shape KV/conv cache.
+
+    Decode weights are int8 (train/quantize.py): batch-1 decode is
+    weight-read-bound, so int8 HBM reads are the shipped configuration.
+    AD_TPU_BENCH_QUANT=0 times the bf16-weight path instead."""
     from autoregressive_diffusion_tpu.models import Precond
     from autoregressive_diffusion_tpu.models.cache import init_cache
     from autoregressive_diffusion_tpu.sampling.sampler import edm_sampler
+    from autoregressive_diffusion_tpu.train import (forced_weight_norm,
+                                                    quantize_variables,
+                                                    quantized_config)
     from functools import partial
 
     from autoregressive_diffusion_tpu.models import UNetConfig
@@ -112,6 +119,14 @@ def rollout():
     cond = jnp.zeros((b, t_ctx), jnp.int32)
     variables = jax.jit(model.init, static_argnames=("mode",))(
         jax.random.PRNGKey(0), x, sig, cond, mode="eval")
+    quant = os.environ.get("AD_TPU_BENCH_QUANT", "1") != "0"
+    if quant:
+        variables = dict(variables,
+                         params=forced_weight_norm(variables["params"]))
+        variables = quantize_variables(variables)
+        model = Precond(quantized_config(cfg), sigma_data=1.0,
+                        body_dtype=jnp.bfloat16)
+        print("# rollout: int8 decode weights", file=sys.stderr)
 
     prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True))
     cache = init_cache(model, variables, batch_size=b)
@@ -148,7 +163,8 @@ def rollout():
     print(json.dumps({
         "metric": "rollout_frames_per_sec",
         "value": round(fps, 3),
-        "unit": f"frames/s ({num_steps}-step sampler, 2 NFE/step)",
+        "unit": (f"frames/s ({num_steps}-step sampler, 2 NFE/step"
+                 + (", int8 weights)" if quant else ")")),
         "vs_baseline": None,
     }))
 
@@ -162,5 +178,5 @@ if __name__ == "__main__":
     elif "--train-only" in sys.argv:
         main()
     else:
-        main()
         rollout()
+        main()

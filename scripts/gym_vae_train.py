@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--ckpt-dir", default="saved_models")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--out-dir", default="images_training")
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.data import (GymDataGenerator,
@@ -134,6 +135,7 @@ def main():
     vp, dp = vae_vars["params"], disc_vars["params"]
     dvars = disc_vars
     key = jax.random.PRNGKey(3)
+    history = {"recon": [], "kl_group": [], "adv": [], "disc": []}
     t0 = time.time()
     for i, (frames, _, _) in enumerate(loader):
         if i >= args.steps:
@@ -142,6 +144,10 @@ def main():
         key, k = jax.random.split(key)
         vp, opt_vae, dp, opt_disc, dvars, l, aux, dl = step(
             vp, opt_vae, dp, opt_disc, dvars, f, k)
+        history["recon"].append(float(aux["recon"]))
+        history["kl_group"].append(float(aux["kl_group"]))
+        history["adv"].append(float(aux["adv"]))
+        history["disc"].append(float(dl))
         if i % 20 == 0:
             print(f"step {i}: recon={float(aux['recon']):.4f} "
                   f"kl_group={float(aux['kl_group']):.3f} "
@@ -152,7 +158,39 @@ def main():
             save_model(os.path.join(args.ckpt_dir, "vae_lunar_lander.ad"),
                        dict(vae_cfg.__dict__),
                        {**vae_vars, "params": jax.device_get(vp)})
-            print("# saved VAE checkpoint")
+            _save_curves(args.out_dir, history, i)
+            print("# saved VAE checkpoint + loss curves")
+    save_model(os.path.join(args.ckpt_dir, "vae_lunar_lander.ad"),
+               dict(vae_cfg.__dict__),
+               {**vae_vars, "params": jax.device_get(vp)})
+    _save_curves(args.out_dir, history, "final")
+    print("# final VAE checkpoint saved")
+
+
+def _save_curves(out_dir, history, tag):
+    """Loss-curve artifact (the reference tracks these ad hoc in its
+    scripts; committed as training evidence)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    os.makedirs(out_dir, exist_ok=True)
+    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    for ax, (name, vals) in zip(axes.ravel(), history.items()):
+        ax.plot(vals, alpha=0.4)
+        if len(vals) > 50:
+            w = max(1, len(vals) // 50)
+            ma = np.convolve(vals, np.ones(w) / w, mode="valid")
+            ax.plot(np.arange(len(vals) - len(ma), len(vals)), ma)
+        ax.set_title(name)
+        ax.grid(True)
+        if name in ("recon",):
+            ax.set_yscale("log")
+    fig.suptitle(f"gym VAE training (step {tag})")
+    fig.savefig(os.path.join(out_dir, f"vae_losses_{tag}.png"), dpi=110,
+                bbox_inches="tight")
+    plt.close(fig)
+    np.savez(os.path.join(out_dir, f"vae_losses_{tag}.npz"),
+             **{k: np.asarray(v, np.float32) for k, v in history.items()})
 
 
 if __name__ == "__main__":

@@ -133,3 +133,44 @@ def test_dropout_applied_in_train_only():
     e1, _ = unet.apply(variables, xe, cne, mode="eval")
     e2, _ = unet.apply(variables, xe, cne, mode="eval")
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_int8_decode_quantization():
+    """quantize_variables + decode_quant=True must reproduce the fp32 decode
+    path closely (unit-norm columns quantize benignly; see train/quantize.py)."""
+    import dataclasses
+    from autoregressive_diffusion_tpu.models import Precond, init_cache
+    from autoregressive_diffusion_tpu.train import (quantize_variables,
+                                                    quantized_config)
+
+    cfg = dataclasses.replace(CFG, label_dim=0)
+    model = Precond(cfg, sigma_data=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 16, 16, 8))
+    sig = jnp.full((B, T), 0.3)
+    variables = model.init(jax.random.PRNGKey(1), x, sig, mode="eval")
+    variables["params"]["unet"]["out_gain"] = jnp.float32(1.0)
+    # forced weight normalization holds at rest: normalize the raw params
+    # like train/optim.py would after a step
+    from autoregressive_diffusion_tpu.train import forced_weight_norm
+    variables = dict(variables, params=forced_weight_norm(variables["params"]))
+
+    qmodel = Precond(quantized_config(cfg), sigma_data=1.0)
+    qvars = quantize_variables(variables)
+
+    # prefill + decode through both models
+    def run(m, v):
+        cache = init_cache(m, v, batch_size=B)
+        _, cache = m.apply(v, x[:, :T - 1], sig[:, :T - 1], cache=cache,
+                           update_cache=True, mode="eval")
+        y, _ = m.apply(v, x[:, T - 1:], sig[:, :1], cache=cache,
+                       update_cache=True, mode="eval")
+        return y
+
+    y32 = run(model, variables)
+    y8 = run(qmodel, qvars)
+    rel = float(jnp.abs(y8 - y32).max() / (jnp.abs(y32).max() + 1e-9))
+    assert rel < 0.05, rel
+    # int8 params really are int8 (the HBM saving is real)
+    qkv = qvars["params"]["unet"]["dec_8x8_in0"]["attn"]["attn_qkv"]
+    assert qkv["w_q"].dtype == np.int8
+    assert "w" not in qkv
