@@ -36,6 +36,23 @@ from ..ops.rope import rope_qk
 from .layers import MPConv
 
 
+def _quant_kv(x: jax.Array) -> jax.Array:
+    """Unit-norm rows (post pixel-norm K/V) -> int8 at a fixed 127 scale.
+    No per-channel scales needed: normalize() bounds every component to
+    [-1, 1], so symmetric int8 costs <0.4% RMS per component."""
+    return jnp.clip(jnp.rint(x * 127.0), -127, 127).astype(jnp.int8)
+
+
+def _dequant_kv(buf: jax.Array, dtype) -> jax.Array:
+    if buf.dtype == jnp.int8:
+        return buf.astype(dtype) * jnp.asarray(1.0 / 127.0, dtype)
+    return buf.astype(dtype)
+
+
+def _to_cache_dtype(x: jax.Array, buf: jax.Array) -> jax.Array:
+    return _quant_kv(x) if buf.dtype == jnp.int8 else x.astype(buf.dtype)
+
+
 class VideoAttention(nn.Module):
     """Block-sparse spatiotemporal self-attention (reference :15-88)."""
     channels: int
@@ -91,17 +108,23 @@ class VideoAttention(nn.Module):
             o = self._eval_attention(q, k, v, cache, frames, b, t, hw)
             if update_cache and cache is not None:
                 kbuf = jax.lax.dynamic_update_slice_in_dim(
-                    cache["k"], k.astype(cache["k"].dtype), frames, axis=2)
+                    cache["k"], _to_cache_dtype(k, cache["k"]), frames, axis=2)
                 vbuf = jax.lax.dynamic_update_slice_in_dim(
-                    cache["v"], v.astype(cache["v"].dtype), frames, axis=2)
+                    cache["v"], _to_cache_dtype(v, cache["v"]), frames, axis=2)
                 cache = {"k": kbuf, "v": vbuf}
             elif update_cache and cache is None:
-                # create a fresh preallocated buffer holding the new frames
+                # create a fresh preallocated buffer holding the new frames;
+                # int8 KV under decode quantization (K/V are pixel-normed, so
+                # a fixed scale suffices) -- halves KV HBM reads vs bf16 on
+                # the weight/cache-read-bound batch-1 rollout
                 f = self.max_frames
-                kbuf = jnp.zeros((b, self.num_heads, f, hw, k.shape[-1]), k.dtype)
+                cdtype = jnp.int8 if self.quant else k.dtype
+                kbuf = jnp.zeros((b, self.num_heads, f, hw, k.shape[-1]), cdtype)
                 vbuf = jnp.zeros_like(kbuf)
-                kbuf = jax.lax.dynamic_update_slice_in_dim(kbuf, k, frames, axis=2)
-                vbuf = jax.lax.dynamic_update_slice_in_dim(vbuf, v, frames, axis=2)
+                kbuf = jax.lax.dynamic_update_slice_in_dim(
+                    kbuf, _to_cache_dtype(k, kbuf), frames, axis=2)
+                vbuf = jax.lax.dynamic_update_slice_in_dim(
+                    vbuf, _to_cache_dtype(v, vbuf), frames, axis=2)
                 cache = {"k": kbuf, "v": vbuf}
 
         y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
@@ -123,9 +146,9 @@ class VideoAttention(nn.Module):
         else:
             f = cache["k"].shape[2]
             kk = jax.lax.dynamic_update_slice_in_dim(
-                cache["k"].astype(k.dtype), k, frames, axis=2)
+                _dequant_kv(cache["k"], k.dtype), k, frames, axis=2)
             vv = jax.lax.dynamic_update_slice_in_dim(
-                cache["v"].astype(v.dtype), v, frames, axis=2)
+                _dequant_kv(cache["v"], v.dtype), v, frames, axis=2)
             k_pos = jnp.arange(f)
             fmask = q_pos[:, None] >= k_pos[None, :]
         qr, kr = rope_qk(q, kk, q_pos, k_pos, center=center)

@@ -36,9 +36,15 @@ def main():
                     help="synthetic moving-square data instead of gym")
     ap.add_argument("--ref-lr", type=float, default=1e-2)
     ap.add_argument("--dashboard-every", type=int, default=500)
+    ap.add_argument("--replay", type=int, default=0, metavar="CAPACITY",
+                    help="replay-buffer capacity in clips (0 = stream fresh "
+                         "batches like the reference; >0 = sample from a "
+                         "continuously refreshed buffer of pre-encoded "
+                         "latents -- see data/replay.py for why)")
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.data import (GymDataGenerator,
+                                                   ReplayLoader,
                                                    SyntheticVideoGenerator,
                                                    batched)
     from autoregressive_diffusion_tpu.models import Precond, UNetConfig
@@ -122,20 +128,36 @@ def main():
         gen = GymDataGenerator(args.state_size, args.env, args.steps * 2,
                                vae_cfg.time_compression, return_anyways=False,
                                frame_size=frame_size)
-    loader = batched(gen, args.batch, num_workers=args.micro_batch)
-
     encode = jax.jit(lambda v, f: frames_to_latents(vae, v, f, lat_mean, lat_std))
     decode = jax.jit(lambda v, z: latents_to_frames(vae, v, z, lat_mean, lat_std))
+
+    if args.replay > 0:
+        # producer thread encodes each fresh clip to latents on-device
+        # (jax serializes this against train steps), buffer holds latents
+        def to_latent(item):
+            frames, actions, _ = item
+            z = encode(vae_vars, jnp.asarray(frames, jnp.float32)[None])
+            return np.asarray(z[0], np.float32), np.asarray(actions)
+        replay = ReplayLoader(gen, args.batch, capacity=args.replay,
+                              transform=to_latent, seed=5)
+        loader = iter(replay)
+    else:
+        replay = None
+        def _stream():
+            for frames, actions, _ in batched(gen, args.batch,
+                                              num_workers=args.micro_batch):
+                yield encode(vae_vars, jnp.asarray(frames, jnp.float32)), actions
+        loader = _stream()
     # eval rollout + per-step-MSE feedback loop, run every dashboard
     # interval (reference sampler.py:91-146, gym_train.py:115-130)
     eval_callback = make_sampler_callback(model)
 
     key = jax.random.PRNGKey(1234)
     t_start = time.time()
-    for i, (frames, actions, _) in enumerate(loader, start=start):
+    for i, (latents, actions) in enumerate(loader, start=start):
         if i >= args.steps:
             break
-        latents = encode(vae_vars, jnp.asarray(frames, jnp.float32))
+        latents = jnp.asarray(latents)
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, latents, jnp.asarray(actions), k,
                                  just_2d=(i % 4 == 0))
@@ -144,8 +166,15 @@ def main():
 
         if i % 50 == 0:
             sps = args.batch * (i + 1 - start) / (time.time() - t_start)
+            extra_msg = ""
+            if replay is not None:
+                rs = replay.stats()
+                extra_msg = (f" replay[{rs['buffered']} buf, "
+                             f"{rs['produced']} fresh, "
+                             f"x{rs['reuse_factor']:.1f} reuse]")
             print(f"step {i}: loss={np.mean(losses_history[-accumulation:]):.4f} "
-                  f"lr={float(sched(i)):.6f} {sps:.1f} samples/s", flush=True)
+                  f"lr={float(sched(i)):.6f} {sps:.1f} samples/s{extra_msg}",
+                  flush=True)
         if i % args.dashboard_every == 0 and i > start:
             state = state.replace(coefs=jnp.asarray(noise_state.fit()))
             key, k = jax.random.split(key)

@@ -36,9 +36,13 @@ def main():
     ap.add_argument("--ckpt-dir", default="saved_models")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--out-dir", default="images_training")
+    ap.add_argument("--replay", type=int, default=0, metavar="CAPACITY",
+                    help="replay-buffer capacity in clips (0 = stream fresh; "
+                         "see data/replay.py)")
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.data import (GymDataGenerator,
+                                                   ReplayLoader,
                                                    SyntheticVideoGenerator,
                                                    batched)
     from autoregressive_diffusion_tpu.models.discriminator import \
@@ -130,7 +134,12 @@ def main():
     else:
         gen = GymDataGenerator(t, args.env, args.steps * 2, 4,
                                frame_size=args.frame_size)
-    loader = batched(gen, args.batch, num_workers=4)
+    if args.replay > 0:
+        replay = ReplayLoader(gen, args.batch, capacity=args.replay, seed=7)
+        loader = iter(replay)
+    else:
+        replay = None
+        loader = batched(gen, args.batch, num_workers=4)
 
     vp, dp = vae_vars["params"], disc_vars["params"]
     dvars = disc_vars
@@ -149,11 +158,16 @@ def main():
         history["adv"].append(float(aux["adv"]))
         history["disc"].append(float(dl))
         if i % 20 == 0:
+            extra_msg = ""
+            if replay is not None:
+                rs = replay.stats()
+                extra_msg = (f" replay[{rs['produced']} fresh, "
+                             f"x{rs['reuse_factor']:.1f} reuse]")
             print(f"step {i}: recon={float(aux['recon']):.4f} "
                   f"kl_group={float(aux['kl_group']):.3f} "
                   f"adv={float(aux['adv']):.3f} disc={float(dl):.3f} "
-                  f"({args.batch*(i+1)/(time.time()-t0):.2f} clips/s)",
-                  flush=True)
+                  f"({args.batch*(i+1)/(time.time()-t0):.2f} clips/s)"
+                  f"{extra_msg}", flush=True)
         if i % 500 == 0 and i > 0:
             save_model(os.path.join(args.ckpt_dir, "vae_lunar_lander.ad"),
                        dict(vae_cfg.__dict__),

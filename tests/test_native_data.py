@@ -95,3 +95,52 @@ def test_batched_terminates_on_exhausted_generators():
     # serial path drops the incomplete tail batch instead of raising
     gen2 = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=20)
     assert sum(1 for _ in batched(gen2, 8, num_workers=0)) == 2
+
+
+def test_replay_loader_serves_and_tracks_reuse():
+    """ReplayLoader keeps serving batches sampled from the ring buffer while
+    the producer refreshes it, and stats() reports honest reuse numbers."""
+    from autoregressive_diffusion_tpu.data import (ReplayLoader,
+                                                   SyntheticVideoGenerator)
+    gen = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=12)
+    loader = ReplayLoader(gen, batch_size=4, capacity=8, min_fill=4, seed=0)
+    it = iter(loader)
+    batches = [next(it) for _ in range(10)]
+    frames, actions, rewards = batches[0]
+    assert frames.shape == (4, 8, 16, 16, 3) and frames.dtype == np.uint8
+    assert actions.shape == (4, 2) and rewards.shape == (4,)
+    # within one batch samples are distinct buffer slots
+    loader._thread.join(timeout=30)
+    s = loader.stats()
+    assert s["produced"] == 12
+    assert s["drawn"] == 40
+    assert s["reuse_factor"] > 1.0  # drew more than produced: replay happened
+    loader.stop()
+
+
+def test_replay_loader_applies_transform_and_propagates_errors():
+    from autoregressive_diffusion_tpu.data import (ReplayLoader,
+                                                   SyntheticVideoGenerator)
+    gen = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=6)
+    loader = ReplayLoader(gen, batch_size=2, capacity=4,
+                          transform=lambda it: (it[0].astype(np.float32) / 255,
+                                                it[1]))
+    frames, actions = next(iter(loader))
+    assert frames.dtype == np.float32 and float(frames.max()) <= 1.0
+
+    def bad_gen():
+        yield (np.zeros((2, 2)),)
+        raise ValueError("boom")
+
+    bad = ReplayLoader(bad_gen(), batch_size=4, capacity=4, min_fill=4)
+    with pytest.raises(RuntimeError, match="replay producer failed"):
+        next(iter(bad))
+
+
+def test_replay_loader_exhausted_short_generator_stops():
+    """A generator shorter than one batch ends iteration instead of hanging."""
+    from autoregressive_diffusion_tpu.data import (ReplayLoader,
+                                                   SyntheticVideoGenerator)
+    gen = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=2)
+    loader = ReplayLoader(gen, batch_size=4, capacity=8, min_fill=4)
+    assert sum(1 for _ in loader) == 0

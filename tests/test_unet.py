@@ -174,3 +174,15 @@ def test_int8_decode_quantization():
     qkv = qvars["params"]["unet"]["dec_8x8_in0"]["attn"]["attn_qkv"]
     assert qkv["w_q"].dtype == np.int8
     assert "w" not in qkv
+    # ... and so is the KV cache under decode quantization (fixed-scale int8
+    # on pixel-normed K/V; models/attention.py::_quant_kv)
+    qcache = init_cache(qmodel, qvars, batch_size=B)
+    kv_dtypes = {leaf.dtype for path, leaf in
+                 jax.tree_util.tree_flatten_with_path(qcache)[0]
+                 if any(getattr(p, "key", None) in ("k", "v") for p in path)}
+    assert kv_dtypes == {np.dtype(np.int8)}, kv_dtypes
+    f32cache = init_cache(model, variables, batch_size=B)
+    kv_dtypes32 = {leaf.dtype for path, leaf in
+                   jax.tree_util.tree_flatten_with_path(f32cache)[0]
+                   if any(getattr(p, "key", None) in ("k", "v") for p in path)}
+    assert np.dtype(np.int8) not in kv_dtypes32
