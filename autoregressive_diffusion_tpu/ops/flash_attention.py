@@ -248,3 +248,83 @@ def flash_supported(seq_len: int, head_dim: int) -> bool:
     # train mask (~4% whole-step win) and scales O(S * clean-frames) at long
     # context where dense is O(S^2). Kernel overhead only loses below ~512.
     return seq_len >= 512
+
+
+# ---- sequence-parallel kernels (shard_map fast path) -----------------------
+#
+# Under a mesh with sp > 1 the auto-SPMD (jit) path cannot partition a
+# pallas_call, so sharded training steps fall back to XLA dense attention.
+# These wrappers are the TPU fast path: Q rows and the block-sparse mask
+# metadata STAY sharded over the 'seq' mesh axis (splash q_seq_shards +
+# manual_sharding_spec), heads stay sharded over 'model', and only K/V are
+# all-gathered over ICI inside the shard_map -- the same collective XLA
+# would insert around a dense attention, now amortized against a streaming
+# kernel that never materializes the (S, S) logits.
+
+def _sp_block_sizes(q_local: int, kv_len: int):
+    import os
+    b = min(int(os.environ.get("AD_TPU_FLASH_BLOCK", "512")), q_local)
+    bkv = min(int(os.environ.get("AD_TPU_FLASH_BLOCK", "512")), kv_len)
+    return splash.BlockSizes(
+        block_q=b, block_kv=bkv, block_kv_compute=bkv,
+        block_q_dkv=b, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+        block_q_dq=b, block_kv_dq=bkv,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _make_sp_kernel(kind: str, num_heads: int, n_frames: int,
+                    tokens_per_frame: int, q_shards: int, head_shards: int,
+                    interpret: bool):
+    mask_cls = DartMask if kind == "dart" else CausalFrameMask
+    one = mask_cls(n_frames, tokens_per_frame, shard_count=q_shards)
+    mask = mask_lib.MultiHeadMask([one] * num_heads)
+    s = one.shape[0]
+    with jax.ensure_compile_time_eval():
+        return splash.make_splash_mha(
+            mask, block_sizes=_sp_block_sizes(s // q_shards, s),
+            head_shards=head_shards, q_seq_shards=q_shards,
+            interpret=interpret)
+
+
+def _sp_apply(kind: str, q, k, v, n_frames: int, tokens_per_frame: int,
+              mesh, seq_axis: str, head_axis, interpret: bool):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    b, h, s, d = q.shape
+    n = int(mesh.shape[seq_axis])
+    hshards = int(mesh.shape[head_axis]) if head_axis else 1
+    kernel = _make_sp_kernel(kind, h, n_frames, tokens_per_frame, n,
+                             hshards, interpret)
+    kspec = kernel.manual_sharding_spec(
+        NamedSharding(mesh, P(head_axis, seq_axis)))
+    batch_axes = tuple(a for a in ("replica", "data") if a in mesh.shape)
+    bspec = batch_axes if batch_axes else None
+    io_spec = P(bspec, head_axis, seq_axis, None)
+
+    def inner(kern, qs, ks, vs):
+        ks = jax.lax.all_gather(ks, seq_axis, axis=2, tiled=True)
+        vs = jax.lax.all_gather(vs, seq_axis, axis=2, tiled=True)
+        return jax.vmap(kern)(qs, ks, vs)
+
+    qs = (q * (1.0 / np.sqrt(d))).astype(q.dtype)
+    return jax.shard_map(inner, mesh=mesh,
+                         in_specs=(kspec, io_spec, io_spec, io_spec),
+                         out_specs=io_spec, check_vma=False)(kernel, qs, k, v)
+
+
+def dart_attention_sp(q, k, v, n_frames: int, tokens_per_frame: int, mesh,
+                      seq_axis: str = "seq", head_axis=None,
+                      interpret: bool = False):
+    """Sequence-parallel DART flash attention over the 2T-frame concat.
+    q, k, v: (b, heads, 2*T*hw, d) GLOBAL arrays whose S axis is sharded
+    over `seq_axis` (and heads over `head_axis`, e.g. 'model')."""
+    return _sp_apply("dart", q, k, v, n_frames, tokens_per_frame, mesh,
+                     seq_axis, head_axis, interpret)
+
+
+def causal_frame_attention_sp(q, k, v, n_frames: int, tokens_per_frame: int,
+                              mesh, seq_axis: str = "seq", head_axis=None,
+                              interpret: bool = False):
+    """Sequence-parallel frame-causal flash attention (prefill)."""
+    return _sp_apply("causal", q, k, v, n_frames, tokens_per_frame, mesh,
+                     seq_axis, head_axis, interpret)

@@ -1,2 +1,3 @@
 from .mesh import (batch_sharding, check_replica_consistency, create_mesh,
-                   param_sharding, replicated, shard_train_state)
+                   param_sharding, replicated, seq_sharding,
+                   shard_train_state)

@@ -27,21 +27,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(tp: int = 1, devices=None, num_slices: Optional[int] = None
-                ) -> Mesh:
-    """('replica', 'data', 'model') mesh with `tp`-way tensor parallelism.
+def create_mesh(tp: int = 1, devices=None, num_slices: Optional[int] = None,
+                sp: int = 1) -> Mesh:
+    """('replica', 'data', 'seq', 'model') mesh: `tp`-way tensor parallelism,
+    `sp`-way sequence (time-axis) parallelism.
 
-    'model' is the minor (fastest / ICI-nearest) axis; 'replica' is the
-    outermost axis and spans TPU slices, so only pure data-parallel
-    gradient all-reduces cross the slower DCN links while tensor-parallel
-    collectives stay on ICI within a slice. Slice count is taken from the
-    devices' `slice_index` when present (real multi-slice topologies) or
-    from `num_slices` (virtual-device tests); single-slice meshes get
-    replica=1 and behave exactly like the previous ('data','model') mesh.
+    'model' is the minor (fastest / ICI-nearest) axis, 'seq' the next --
+    both exchange activations every layer, so they must stay on ICI.
+    'replica' is the outermost axis and spans TPU slices, so only pure
+    data-parallel gradient all-reduces cross the slower DCN links. Slice
+    count is taken from the devices' `slice_index` when present (real
+    multi-slice topologies) or from `num_slices` (virtual-device tests);
+    defaults (sp=1) behave exactly like the previous ('data','model') mesh.
+
+    Sequence parallelism shards the frame axis of activations
+    (`seq_sharding`): per-frame compute (convs, per-frame attention, loss)
+    stays local; the video-attention K/V exchange becomes XLA-inserted ICI
+    collectives. Use when clip length, not batch, is the memory constraint
+    (CS-scale T=64+ clips). Beyond-reference capability: the reference is
+    DDP-only (cs_train.py:53-54).
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    assert n % (sp * tp) == 0, f"{n} devices not divisible by sp*tp={sp*tp}"
     if num_slices is None:
         slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
         num_slices = len(slice_ids)
@@ -53,15 +61,24 @@ def create_mesh(tp: int = 1, devices=None, num_slices: Optional[int] = None
             sizes = {len(v) for v in by_slice.values()}
             assert len(sizes) == 1, f"uneven slices: {by_slice}"
             devices = [d for s in slice_ids for d in by_slice[s]]
-    assert n % (num_slices * tp) == 0, (n, num_slices, tp)
-    arr = np.asarray(devices).reshape(num_slices, n // (num_slices * tp), tp)
-    return Mesh(arr, ("replica", "data", "model"))
+    assert n % (num_slices * sp * tp) == 0, (n, num_slices, sp, tp)
+    arr = np.asarray(devices).reshape(
+        num_slices, n // (num_slices * sp * tp), sp, tp)
+    return Mesh(arr, ("replica", "data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     if "replica" in mesh.shape:
         return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
+
+
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """[b, t, ...] activation sharding: batch over ('replica','data'), the
+    frame axis over 'seq'. With sp=1 this degenerates to batch_sharding."""
+    if "replica" in mesh.shape:
+        return NamedSharding(mesh, P(("replica", "data"), "seq"))
+    return NamedSharding(mesh, P("data", "seq"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -33,6 +33,17 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+
+# virtual-device runs (XLA_FLAGS=--xla_force_host_platform_device_count=N):
+# this environment's sitecustomize re-pins JAX_PLATFORMS to the TPU plugin,
+# so a host-device fan-out must force the CPU platform explicitly (same
+# guard as __graft_entry__.py)
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +58,10 @@ def main():
     ap.add_argument("--shards", default=None,
                     help="local .npz latent shard dir (cs_data.py)")
     ap.add_argument("--tp", type=int, default=1, help="tensor parallelism")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence parallelism: shard the clip's frame axis "
+                         "over the mesh 'seq' axis (for long CS clips where "
+                         "activation memory, not batch, is the constraint)")
     ap.add_argument("--lat-mean", type=float, default=0.0)
     ap.add_argument("--lat-std", type=float, default=1.0)
     ap.add_argument("--ckpt-dir", default="saved_models_cs")
@@ -62,9 +77,9 @@ def main():
     from autoregressive_diffusion_tpu.data import (LocalLatentShards,
                                                    batched_latents)
     from autoregressive_diffusion_tpu.models import Precond, UNetConfig
-    from autoregressive_diffusion_tpu.parallel import (batch_sharding,
-                                                       create_mesh,
+    from autoregressive_diffusion_tpu.parallel import (create_mesh,
                                                        replicated,
+                                                       seq_sharding,
                                                        shard_train_state)
     from autoregressive_diffusion_tpu.train import (
         EDM2LossConfig, MultiNoiseState, create_train_state,
@@ -81,7 +96,7 @@ def main():
                      frame_attn_resolutions=(8,), max_frames=128)
     model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
 
-    mesh = create_mesh(tp=args.tp)
+    mesh = create_mesh(tp=args.tp, sp=args.sp)
     print(f"# mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     b, t = args.batch, args.clip_size
@@ -106,7 +121,7 @@ def main():
         make_train_step(model, loss_cfg, tx, batch_size=b,
                         microbatch=args.micro_batch),
         static_argnames=("just_2d",),
-        in_shardings=(shardings, batch_sharding(mesh), batch_sharding(mesh),
+        in_shardings=(shardings, seq_sharding(mesh), seq_sharding(mesh),
                       replicated(mesh)),
         out_shardings=(shardings, None),
         donate_argnums=(0,))
@@ -142,17 +157,18 @@ def main():
         if i >= args.steps:
             break
         latents = jax.device_put(jnp.asarray(batch["latents"]),
-                                 batch_sharding(mesh))
+                                 seq_sharding(mesh))
         # label_dim=4 like the reference, which still passes actions=None
         # (cs_train.py:104); --use-actions feeds the streamed actions.
         actions = None
         if args.use_actions and batch.get("actions") is not None:
             actions = jax.device_put(
                 jnp.asarray(batch["actions"], jnp.int32),
-                batch_sharding(mesh))
+                seq_sharding(mesh))
         key, k = jax.random.split(key)
-        state, metrics = step_fn(state, latents, actions, k,
-                                 just_2d=(i % 4 == 0))
+        # just_2d passed positionally: pjit rejects kwargs when
+        # in_shardings is set (static_argnames still applies by position)
+        state, metrics = step_fn(state, latents, actions, k, i % 4 == 0)
         if is_p0:
             noise_state.add_data(metrics["sigma"], metrics["losses"])
             losses.append(float(metrics["unweighted"]))

@@ -154,6 +154,16 @@ def main():
 
     key = jax.random.PRNGKey(1234)
     t_start = time.time()
+    pending = []  # un-fetched (unweighted, sigma, losses) device tuples:
+    # per-step float() syncs would serialize the device queue over the
+    # host<->chip link; one bulk fetch per print window keeps it full
+
+    def flush_pending():
+        for unw, sig, lo in jax.device_get(pending):
+            noise_state.add_data(sig, lo)
+            losses_history.append(float(unw))
+        pending.clear()
+
     for i, (latents, actions) in enumerate(loader, start=start):
         if i >= args.steps:
             break
@@ -161,10 +171,11 @@ def main():
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, latents, jnp.asarray(actions), k,
                                  just_2d=(i % 4 == 0))
-        noise_state.add_data(metrics["sigma"], metrics["losses"])
-        losses_history.append(float(metrics["unweighted"]))
+        pending.append((metrics["unweighted"], metrics["sigma"],
+                        metrics["losses"]))
 
         if i % 50 == 0:
+            flush_pending()
             sps = args.batch * (i + 1 - start) / (time.time() - t_start)
             extra_msg = ""
             if replay is not None:
@@ -176,6 +187,7 @@ def main():
                   f"lr={float(sched(i)):.6f} {sps:.1f} samples/s{extra_msg}",
                   flush=True)
         if i % args.dashboard_every == 0 and i > start:
+            flush_pending()
             state = state.replace(coefs=jnp.asarray(noise_state.fit()))
             key, k = jax.random.split(key)
             mse_steps, _, roll_lat = eval_callback(
@@ -188,6 +200,7 @@ def main():
                 mse_steps=mse_steps, rollout_frames=roll_frames,
                 unet_params=n_params)
         if i % max(args.steps // 40, 1) == 0 and i > start:
+            flush_pending()
             save_model(os.path.join(args.ckpt_dir, f"unet_{n_params//10**6}M.ad"),
                        dict(unet_cfg.__dict__),
                        {"params": jax.device_get(state.params),

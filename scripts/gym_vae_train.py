@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--replay", type=int, default=0, metavar="CAPACITY",
                     help="replay-buffer capacity in clips (0 = stream fresh; "
                          "see data/replay.py)")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the VAE/discriminator applies: "
+                         "recompute activations in the backward pass so the "
+                         "reference batch=4 fits HBM at 256px (the "
+                         "both-orders adversarial pass doubles activation "
+                         "memory)")
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.data import (GymDataGenerator,
@@ -56,6 +62,13 @@ def main():
                         spatial_compressions=(1, 2, 2))
     vae = VAE(vae_cfg)
     disc = MixedDiscriminator()
+    vae_apply = vae.apply
+    disc_apply = disc.apply
+    if args.remat:
+        vae_apply = jax.checkpoint(
+            lambda v, f, key=None: vae.apply(v, f, key=key),
+            static_argnums=())
+        disc_apply = jax.checkpoint(disc.apply, static_argnums=(2,))
 
     t = args.state_size
     x0 = jnp.zeros((1, 8, args.frame_size, args.frame_size, 3))
@@ -80,7 +93,7 @@ def main():
 
     def vae_loss_fn(vp, dv, frames, key):
         variables = dict(vae_vars, params=vp)
-        r_mean, r_logvar, mean = vae.apply(variables, frames, key=key)
+        r_mean, r_logvar, mean = vae_apply(variables, frames, key=key)
         recon = worst_k_percent_loss(r_mean, frames, percent=0.2)
         # group-KL on latent statistics (intended semantics, see docstring)
         group_var = jnp.var(mean, axis=(0, 1, 2, 3)) + 1e-8
@@ -97,7 +110,7 @@ def main():
         # cs_vae_adversarial.py use, kept per-element here for the hinge.
         fr = jnp.concatenate([frames, r_mean], axis=-1)
         rf = jnp.concatenate([r_mean, frames], axis=-1)
-        logits = disc.apply(dv, jnp.concatenate([fr, rf], axis=0), False)
+        logits = disc_apply(dv, jnp.concatenate([fr, rf], axis=0), False)
         n = frames.shape[0]
         logp = jax.nn.log_softmax(logits, axis=-1)
         # generator targets: misclassify (frames||recon)->0, (recon||frames)->1
@@ -115,19 +128,25 @@ def main():
         return loss, mutated
 
     @jax.jit
-    def step(vp, opt_v, dp, opt_d, dvars, frames, key):
+    def step(vp, opt_v, dp, opt_d, dvars, frames_u8, key):
+        # frames arrive uint8 and are normalized on-device: 4x less
+        # host->device traffic per step (the tunnel link is the bottleneck)
+        frames = frames_u8.astype(jnp.float32) / 127.5 - 1.0
         (l, aux), gv = jax.value_and_grad(vae_loss_fn, has_aux=True)(
             vp, dict(dvars, params=dp), frames, key)
         upd, opt_v = tx_vae.update(gv, opt_v, vp)
         vp = optax.apply_updates(vp, upd)
 
-        r_mean, _, _ = vae.apply(dict(vae_vars, params=vp), frames)
+        r_mean, _, _ = vae_apply(dict(vae_vars, params=vp), frames)
         (dl, mutated), gd = jax.value_and_grad(disc_loss_fn, has_aux=True)(
             dp, frames, jax.lax.stop_gradient(r_mean))
         upd_d, opt_d = tx_disc.update(gd, opt_d, dp)
         dp = optax.apply_updates(dp, upd_d)
         new_dvars = dict(dvars, params=dp, **mutated)
-        return vp, opt_v, dp, opt_d, new_dvars, l, aux, dl
+        # metrics as ONE stacked device array so the host can defer the
+        # fetch (per-step float() syncs would serialize the device queue)
+        metrics = jnp.stack([aux["recon"], aux["kl_group"], aux["adv"], dl])
+        return vp, opt_v, dp, opt_d, new_dvars, metrics
 
     if args.synthetic:
         gen = SyntheticVideoGenerator(t, args.frame_size, 4, 4, args.steps * 2)
@@ -145,35 +164,45 @@ def main():
     dvars = disc_vars
     key = jax.random.PRNGKey(3)
     history = {"recon": [], "kl_group": [], "adv": [], "disc": []}
+    pending = []  # un-fetched per-step metric stacks (device arrays)
+
+    def flush_pending():
+        if pending:
+            got = np.asarray(jnp.stack(pending))  # one fetch for the window
+            for row in got:
+                for name, val in zip(history, row):
+                    history[name].append(float(val))
+            pending.clear()
+
     t0 = time.time()
     for i, (frames, _, _) in enumerate(loader):
         if i >= args.steps:
             break
-        f = jnp.asarray(frames, jnp.float32) / 127.5 - 1
         key, k = jax.random.split(key)
-        vp, opt_vae, dp, opt_disc, dvars, l, aux, dl = step(
-            vp, opt_vae, dp, opt_disc, dvars, f, k)
-        history["recon"].append(float(aux["recon"]))
-        history["kl_group"].append(float(aux["kl_group"]))
-        history["adv"].append(float(aux["adv"]))
-        history["disc"].append(float(dl))
+        vp, opt_vae, dp, opt_disc, dvars, metrics = step(
+            vp, opt_vae, dp, opt_disc, dvars, jnp.asarray(frames), k)
+        pending.append(metrics)
         if i % 20 == 0:
+            flush_pending()
             extra_msg = ""
             if replay is not None:
                 rs = replay.stats()
                 extra_msg = (f" replay[{rs['produced']} fresh, "
                              f"x{rs['reuse_factor']:.1f} reuse]")
-            print(f"step {i}: recon={float(aux['recon']):.4f} "
-                  f"kl_group={float(aux['kl_group']):.3f} "
-                  f"adv={float(aux['adv']):.3f} disc={float(dl):.3f} "
+            print(f"step {i}: recon={history['recon'][-1]:.4f} "
+                  f"kl_group={history['kl_group'][-1]:.3f} "
+                  f"adv={history['adv'][-1]:.3f} "
+                  f"disc={history['disc'][-1]:.3f} "
                   f"({args.batch*(i+1)/(time.time()-t0):.2f} clips/s)"
                   f"{extra_msg}", flush=True)
         if i % 500 == 0 and i > 0:
+            flush_pending()
             save_model(os.path.join(args.ckpt_dir, "vae_lunar_lander.ad"),
                        dict(vae_cfg.__dict__),
                        {**vae_vars, "params": jax.device_get(vp)})
             _save_curves(args.out_dir, history, i)
             print("# saved VAE checkpoint + loss curves")
+    flush_pending()
     save_model(os.path.join(args.ckpt_dir, "vae_lunar_lander.ad"),
                dict(vae_cfg.__dict__),
                {**vae_vars, "params": jax.device_get(vp)})

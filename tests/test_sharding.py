@@ -48,7 +48,7 @@ def test_sharded_step_matches_single_device(setup):
 
     # dp=4 x tp=2 mesh
     mesh = create_mesh(tp=2)
-    assert dict(mesh.shape) == {"replica": 1, "data": 4, "model": 2}
+    assert dict(mesh.shape) == {"replica": 1, "data": 4, "seq": 1, "model": 2}
     sharded_state, state_shardings = shard_train_state(state, mesh,
                                                        min_shard_size=32)
     # at least one weight is actually split over 'model'
@@ -84,7 +84,7 @@ def test_multislice_mesh_step_matches_single_device(setup):
         state, images, None, key)
 
     mesh = create_mesh(tp=2, num_slices=2)
-    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "seq": 1, "model": 2}
     sharded_state, state_shardings = shard_train_state(state, mesh,
                                                        min_shard_size=32)
     images_s = jax.device_put(images, batch_sharding(mesh))
@@ -114,3 +114,37 @@ def test_param_sharding_rule():
     assert sh["a"]["w"].spec == jax.sharding.PartitionSpec(None, None, None, "model")
     assert sh["g"].spec == jax.sharding.PartitionSpec()
     assert sh["small"]["w"].spec == jax.sharding.PartitionSpec()
+
+
+def test_seq_sharded_step_matches_single_device(setup):
+    """dp=2 x sp=2 x tp=2: the frame axis of activations is sharded over
+    'seq' (sequence parallelism -- XLA partitions per-frame work locally and
+    inserts the video-attention K/V collectives). Must agree numerically
+    with the single-device step. Beyond-reference capability (the reference
+    is DDP-only, cs_train.py:53-54)."""
+    from autoregressive_diffusion_tpu.parallel import seq_sharding
+    model, tx, state, step = setup
+    images = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8, 8, 4))
+    key = jax.random.PRNGKey(2)
+    ref_state, ref_metrics = jax.jit(step, static_argnames=("just_2d",))(
+        state, images, None, key)
+
+    mesh = create_mesh(tp=2, sp=2)
+    assert dict(mesh.shape) == {"replica": 1, "data": 2, "seq": 2, "model": 2}
+    sharded_state, state_shardings = shard_train_state(state, mesh,
+                                                       min_shard_size=32)
+    images_s = jax.device_put(images, seq_sharding(mesh))
+    assert images_s.sharding.spec == jax.sharding.PartitionSpec(
+        ("replica", "data"), "seq")
+    step_j = jax.jit(step, static_argnames=("just_2d",),
+                     in_shardings=(state_shardings, seq_sharding(mesh),
+                                   None, replicated(mesh)),
+                     out_shardings=(state_shardings, None))
+    new_state, metrics = step_j(sharded_state, images_s, None,
+                                jax.device_put(key, replicated(mesh)))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     new_state.params, ref_state.params)
+    assert max(jax.tree.leaves(d)) < 2e-4
