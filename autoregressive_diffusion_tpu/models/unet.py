@@ -177,7 +177,10 @@ class Block(nn.Module):
         # attention only runs at 8/16) additionally execute the skip conv,
         # pixel norm, residual mp_sum and clip in the kernel's packed layout,
         # so the whole Block touches HBM in dense tiles.
-        use_fused, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
+        use_fused, fi = fused_supported(mode, *x.shape[2:4], x.shape[1],
+                                        cin=max(in_channels,
+                                                self.out_channels),
+                                        cout=self.out_channels)
         # Both fused branches below chain convs in the kernel's PACKED layout
         # (channels zero-padded to a multiple of 8). Conv params are sized
         # from the packed tensor, and the second conv asserts its input
@@ -352,7 +355,8 @@ class UNet(nn.Module):
         for name, spec in blocks["enc"]:
             sub = cache.get("enc", {}).get(name)
             if spec["kind"] == "conv":
-                uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
+                uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1],
+                                         cin=x.shape[-1], cout=spec["cout"])
                 x, c = MPCausalConv3d(spec["cout"], (3, 3, 3),
                                       quant=cfg.decode_quant,
                                       name=f"enc_{name}")(
@@ -388,7 +392,8 @@ class UNet(nn.Module):
                 x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
             dec_cache[name] = c
 
-        uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1])
+        uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1],
+                                 cin=x.shape[-1], cout=cfg.img_channels)
         x, out_c = MPCausalConv3d(cfg.img_channels, (3, 3, 3),
                               quant=cfg.decode_quant, name="out_conv")(
             x, c_noise, frames, cache.get("out_conv"), update_cache, mode,

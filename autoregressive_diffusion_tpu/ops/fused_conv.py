@@ -109,12 +109,35 @@ def _pack_w(wk: jax.Array) -> jax.Array:
     return wk.reshape(n * _cpad(c), co)
 
 
-def fused_supported(mode: str, h: int, w: int, t_total: int):
+def _bwd_vmem_bytes(t: int, h: int, w: int, cp: int, cop: int) -> int:
+    """Estimated VMEM footprint of the (bigger) backward kernel for one grid
+    program: double-buffered in/out blocks + scratch. The grid is (b,) with
+    whole (T, 2, C, L) slabs per program, so the footprint scales with
+    T*C*H*W and large models (CS: 256ch at 32x32, T=16) overflow the chip's
+    128M VMEM -- those shapes must take the unfused XLA path."""
+    l, hw = (h + 2) * w, h * w
+    bf, f32, dbuf = 2, 4, 2
+    inb = (t * 2 * cp * l * bf          # xp block
+           + 2 * t * 2 * cop * hw * bf  # gout + y2d residual
+           + t * cop * hw * bf          # ctx residual
+           + 3 * 9 * cop * cp * bf)     # w2t / w3at / w3bt
+    outb = (t * 2 * cp * l * bf         # dx
+            + 3 * 9 * cop * cp * f32    # dw2t / dw3at / dw3bt
+            + t * 2 * cp * f32)         # dcv
+    scratch = (9 * cop * l + cop * l + 3 * cp * l) * f32
+    return dbuf * (inb + outb) + scratch
+
+
+def fused_supported(mode: str, h: int, w: int, t_total: int,
+                    cin: int = 0, cout: int = 0):
     """Gate for the fused train-mode conv path.
 
     Returns (use_fused, interpret). Env AD_TPU_FUSED_CONV: '0' disables,
     'interpret' forces the kernel in interpreter mode (CPU tests), unset/'1'
-    enables on TPU for tileable shapes.
+    enables on TPU for tileable shapes. Shapes whose backward kernel would
+    not fit VMEM (see _bwd_vmem_bytes; budget AD_TPU_FUSED_VMEM_MB, default
+    96) fall back to the XLA path -- with cin/cout unknown (0) the check is
+    skipped for backward compatibility.
     """
     import os
     env = os.environ.get("AD_TPU_FUSED_CONV", "")
@@ -122,6 +145,12 @@ def fused_supported(mode: str, h: int, w: int, t_total: int):
         return False, False
     if mode != "train" or t_total % 2 or (h * w) % 128:
         return False, False
+    if cin or cout:
+        cp = _cpad(max(cin, 1))
+        cop = max(_cpad(max(cout, 1)), 8)
+        budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "96")) << 20
+        if _bwd_vmem_bytes(t_total // 2, h, w, cp, cop) > budget:
+            return False, False
     if env == "interpret":
         return True, True
     on_tpu = jax.default_backend() in ("tpu", "axon")
