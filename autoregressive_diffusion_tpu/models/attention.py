@@ -27,9 +27,10 @@ from flax import linen as nn
 
 from ..ops.attention import dense_attention
 from ..ops.flash_attention import (causal_frame_attention, dart_attention,
-                                   flash_supported, full_attention,
-                                   full_flash_supported,
-                                   prefill_cache_attention)
+                                   dart_attention_sp, flash_supported,
+                                   full_attention, full_flash_supported,
+                                   prefill_cache_attention,
+                                   sp_flash_supported)
 from ..ops.numerics import mp_sum, normalize
 from ..ops.masks import train_frame_mask, expand_to_tokens
 from ..ops.rope import rope_qk
@@ -97,7 +98,16 @@ class VideoAttention(nn.Module):
             q = qs.reshape(b, self.num_heads, t * hw, -1)
             k = ks.reshape(b, self.num_heads, t * hw, -1)
             vv = v.reshape(b, self.num_heads, t * hw, -1)
-            if flash_supported(t * hw, q.shape[-1]):
+            sp_ok, sp_mesh, sp_seq, sp_heads, sp_interp = sp_flash_supported(
+                t * hw, self.num_heads)
+            if sp_ok:
+                # sequence-parallel splash kernel (shard_map): Q rows and
+                # mask metadata stay sharded over the mesh 'seq' axis, only
+                # K/V are all-gathered over ICI (parallel.set_sp_context)
+                o = dart_attention_sp(q, k, vv, t_half, hw, sp_mesh,
+                                      seq_axis=sp_seq, head_axis=sp_heads,
+                                      interpret=sp_interp)
+            elif flash_supported(t * hw, q.shape[-1]):
                 # Pallas block-sparse DART flash kernel (fwd+bwd)
                 o = dart_attention(q, k, vv, t_half, hw)
             else:

@@ -328,3 +328,51 @@ def causal_frame_attention_sp(q, k, v, n_frames: int, tokens_per_frame: int,
     """Sequence-parallel frame-causal flash attention (prefill)."""
     return _sp_apply("causal", q, k, v, n_frames, tokens_per_frame, mesh,
                      seq_axis, head_axis, interpret)
+
+
+# ---- SP context: lets VideoAttention reach the shard_map kernels -----------
+#
+# The mesh is a host-side static object, not a traced value, so it cannot be
+# threaded through the (jitted) model's arguments; training scripts that
+# shard the frame axis install it here (parallel.set_sp_context) and
+# VideoAttention picks the sequence-parallel kernel over the XLA dense
+# fallback whenever the shapes tile.
+
+_SP_CTX = None
+
+
+def set_sp_context(mesh, seq_axis: str = "seq", head_axis="model",
+                   interpret: bool = False):
+    """Install (or clear, mesh=None) the sequence-parallel attention
+    context. `interpret` runs the splash kernels in interpreter mode
+    (CPU tests)."""
+    global _SP_CTX
+    if mesh is None:
+        _SP_CTX = None
+    else:
+        _SP_CTX = (mesh, seq_axis, head_axis, bool(interpret))
+    return _SP_CTX
+
+
+def sp_context():
+    return _SP_CTX
+
+
+def sp_flash_supported(seq_len: int, num_heads: int):
+    """Whether the installed SP context can serve an S=seq_len DART/causal
+    attention: sp>1 and each seq shard tiles to the 128-row splash grid.
+    Returns (ok, mesh, seq_axis, head_axis_or_None, interpret)."""
+    ctx = _SP_CTX
+    if ctx is None:
+        return False, None, None, None, False
+    mesh, seq_axis, head_axis, interpret = ctx
+    sp = int(mesh.shape.get(seq_axis, 1))
+    if sp <= 1 or seq_len % (sp * 128):
+        return False, None, None, None, False
+    if not (interpret or jax.default_backend() in ("tpu", "axon")):
+        return False, None, None, None, False
+    if head_axis is not None:
+        hs = int(mesh.shape.get(head_axis, 1))
+        if hs <= 1 or num_heads % hs:
+            head_axis = None
+    return True, mesh, seq_axis, head_axis, interpret

@@ -80,6 +80,7 @@ def main():
     from autoregressive_diffusion_tpu.parallel import (create_mesh,
                                                        replicated,
                                                        seq_sharding,
+                                                       set_sp_context,
                                                        shard_train_state)
     from autoregressive_diffusion_tpu.train import (
         EDM2LossConfig, MultiNoiseState, create_train_state,
@@ -98,6 +99,10 @@ def main():
 
     mesh = create_mesh(tp=args.tp, sp=args.sp)
     print(f"# mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+    if args.sp > 1:
+        # route VideoAttention through the sequence-parallel splash kernels
+        # (Q/mask sharded over 'seq', K/V all-gathered in a shard_map)
+        set_sp_context(mesh)
 
     b, t = args.batch, args.clip_size
     x0 = jnp.zeros((b, 2 * t, 32, 32, 8))

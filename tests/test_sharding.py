@@ -148,3 +148,53 @@ def test_seq_sharded_step_matches_single_device(setup):
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      new_state.params, ref_state.params)
     assert max(jax.tree.leaves(d)) < 2e-4
+
+
+def test_sp_context_routes_video_attention_through_sp_kernel():
+    """With an SP context installed, VideoAttention's train path runs the
+    sequence-parallel splash kernel (shard_map over the 'seq' axis) and the
+    sharded step still matches the single-device dense step. Config sized so
+    S = 2*T*hw = 256 tiles the sp=2 x 128-row splash grid."""
+    from autoregressive_diffusion_tpu.ops import flash_attention as fa
+    from autoregressive_diffusion_tpu.parallel import (seq_sharding,
+                                                       set_sp_context)
+
+    cfg = UNetConfig(img_resolution=8, img_channels=4, label_dim=0,
+                     model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                     video_attn_resolutions=(8,), frame_attn_resolutions=(),
+                     channels_per_head=16, max_frames=8)
+    model = Precond(cfg, sigma_data=1.0)
+    b, t = 4, 2
+    x0 = jnp.zeros((b, 2 * t, 8, 8, 4))
+    variables = model.init(jax.random.PRNGKey(0), x0, jnp.ones((b, 2 * t)),
+                           mode="train")
+    tx = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, EDM2LossConfig(), tx, batch_size=b)
+    images = jax.random.normal(jax.random.PRNGKey(1), (b, t, 8, 8, 4))
+    key = jax.random.PRNGKey(2)
+
+    ref_state, ref_metrics = jax.jit(step, static_argnames=("just_2d",))(
+        state, images, None, key)
+
+    mesh = create_mesh(tp=2, sp=2)
+    try:
+        set_sp_context(mesh, interpret=True)
+        ok, *_ = fa.sp_flash_supported(2 * t * 64, 1)
+        assert ok, "SP gate must accept S=256 on the sp=2 mesh"
+        sharded_state, shardings = shard_train_state(state, mesh,
+                                                     min_shard_size=32)
+        step_j = jax.jit(step, static_argnames=("just_2d",),
+                         in_shardings=(shardings, seq_sharding(mesh),
+                                       None, replicated(mesh)),
+                         out_shardings=(shardings, None))
+        new_state, metrics = step_j(
+            sharded_state, jax.device_put(images, seq_sharding(mesh)), None,
+            jax.device_put(key, replicated(mesh)))
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(ref_metrics["loss"]), rtol=2e-4)
+        d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                         new_state.params, ref_state.params)
+        assert max(jax.tree.leaves(d)) < 2e-4
+    finally:
+        set_sp_context(None)
