@@ -201,14 +201,18 @@ class Block(nn.Module):
                 and not use_dropout):
             from ..ops import fused_conv as fc
             h_, w_ = x.shape[2:4]
-            xp = fc.pack_x(x, h_, w_)
             if self.flavor == "enc":
+                # skip conv + pixel norm BEFORE packing: pack_x's H-pad rows
+                # are exactly zero and normalize's backward at an exactly-
+                # zero vector is NaN (d sqrt(S)/dx = x/sqrt(S) -> 0/0; torch
+                # defines this subgradient as 0, JAX does not) -- in packed
+                # space the NaN lands in conv_skip's weight grad and
+                # clip_by_global_norm then wipes every param to NaN.
                 if in_channels != self.out_channels:
-                    wsk = MPConv(self.out_channels, (1, 1), name="conv_skip")(
-                        x[:1, :1, :1], return_weight=True)
-                    xp = jnp.einsum("btscy,cd->btsdy", xp,
-                                    wsk[0, 0].astype(xp.dtype))
-                xp = normalize(xp, axis=-2)  # pixel norm over channels
+                    x = MPConv(self.out_channels, (1, 1),
+                               name="conv_skip")(x)
+                x = normalize(x, axis=-1)  # pixel norm over channels
+            xp = fc.pack_x(x, h_, w_)
             yp, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3),
                                     name="conv_res0")(
                 xp, c_noise, frames, cache.get("conv_res0"), update_cache,

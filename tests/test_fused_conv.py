@@ -125,3 +125,51 @@ def test_fused_block_path_matches_xla_path():
                       - np.asarray(b_, np.float64)).max()
                / (np.abs(np.asarray(a)).max() + 1e-8))
         assert rel < 5e-4, rel
+
+
+def test_fused_enc_skip_block_grads_finite_and_match():
+    """Regression: attention-free enc Block with in != out channels (the
+    conv_skip + pixel-norm branch). The packed layout's H-pad rows are
+    exactly zero; normalize's backward at an exactly-zero vector is NaN in
+    JAX, which surfaced as a NaN conv_skip.w grad on the first real train
+    step (clip_by_global_norm then wiped every param). The skip conv +
+    pixel norm must run on the unpacked tensor, and all grads must be
+    finite and match the XLA path."""
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+
+    cfg = UNetConfig(img_resolution=16, img_channels=4, model_channels=16,
+                     channel_mult=(1, 2), num_blocks=1,
+                     video_attn_resolutions=(), frame_attn_resolutions=(),
+                     max_frames=16)
+    model = Precond(cfg, sigma_data=1.0)
+    b, t = 2, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, 2 * t, 16, 16, 4))
+    sig = jnp.exp(jax.random.normal(jax.random.PRNGKey(1), (b, 2 * t)))
+
+    def run(fused, monkey=os.environ):
+        prev = os.environ.get("AD_TPU_FUSED_CONV")
+        os.environ["AD_TPU_FUSED_CONV"] = "interpret" if fused else "0"
+        try:
+            variables = model.init(jax.random.PRNGKey(7), x, sig,
+                                   mode="train")
+
+            def loss(v):
+                y, _ = model.apply(v, x, sig, mode="train")
+                p = jnp.sin(jnp.arange(y.size).reshape(y.shape) * 0.13)
+                return jnp.sum(y * p)
+
+            return jax.grad(loss)(variables)
+        finally:
+            if prev is None:
+                os.environ.pop("AD_TPU_FUSED_CONV", None)
+            else:
+                os.environ["AD_TPU_FUSED_CONV"] = prev
+
+    g_f = run(True)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_f):
+        assert bool(jnp.isfinite(leaf).all()), (
+            f"non-finite grad at {jax.tree_util.keystr(path)}")
+    g_r = run(False)
+    for a, b_ in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_f)):
+        denom = np.abs(np.asarray(a, np.float64)).max() + 1e-6
+        assert np.abs(np.asarray(a) - np.asarray(b_)).max() / denom < 2e-3
