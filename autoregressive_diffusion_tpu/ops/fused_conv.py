@@ -109,23 +109,38 @@ def _pack_w(wk: jax.Array) -> jax.Array:
     return wk.reshape(n * _cpad(c), co)
 
 
-def _bwd_vmem_bytes(t: int, h: int, w: int, cp: int, cop: int) -> int:
+def _bwd_vmem_bytes(tb: int, h: int, w: int, cp: int, cop: int) -> int:
     """Estimated VMEM footprint of the (bigger) backward kernel for one grid
-    program: double-buffered in/out blocks + scratch. The grid is (b,) with
-    whole (T, 2, C, L) slabs per program, so the footprint scales with
-    T*C*H*W and large models (CS: 256ch at 32x32, T=16) overflow the chip's
-    128M VMEM -- those shapes must take the unfused XLA path."""
+    program handling a TB-frame block: double-buffered in/out blocks +
+    scratch. The time axis is blocked (grid (B, ceil(T/TB))) precisely so
+    large models (CS: 256ch at 32x32, T=16) fit the chip's 128M VMEM."""
     l, hw = (h + 2) * w, h * w
     bf, f32, dbuf = 2, 4, 2
-    inb = (t * 2 * cp * l * bf          # xp block
-           + 2 * t * 2 * cop * hw * bf  # gout + y2d residual
-           + t * cop * hw * bf          # ctx residual
-           + 3 * 9 * cop * cp * bf)     # w2t / w3at / w3bt
-    outb = (t * 2 * cp * l * bf         # dx
-            + 3 * 9 * cop * cp * f32    # dw2t / dw3at / dw3bt
-            + t * 2 * cp * f32)         # dcv
-    scratch = (9 * cop * l + cop * l + 3 * cp * l) * f32
+    inb = (tb * 2 * cp * l * bf          # xp block
+           + 2 * cp * l * bf             # xp halo frames
+           + 2 * tb * 2 * cop * hw * bf  # gout + y2d residual
+           + tb * cop * hw * bf          # ctx residual
+           + 5 * cop * hw * bf           # gout/y2d/ctx halo frames
+           + 3 * 9 * cop * cp * bf)      # w2t / w3at / w3bt
+    outb = (tb * 2 * cp * l * bf         # dx
+            + 3 * 9 * cop * cp * f32     # dw2t / dw3at / dw3bt
+            + tb * 2 * cp * f32)         # dcv
+    scratch = (9 * cop * l + cop * l + 3 * cp * l + 2 * cp * l) * f32
     return dbuf * (inb + outb) + scratch
+
+
+def _pick_tb(t: int, h: int, w: int, cp: int, cop: int) -> int:
+    """Largest frame-block size whose backward program fits the VMEM budget
+    (AD_TPU_FUSED_VMEM_MB, default 96; AD_TPU_FUSED_TB forces a value)."""
+    import os
+    env = os.environ.get("AD_TPU_FUSED_TB")
+    if env:
+        return max(2, min(int(env), t))
+    budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "96")) << 20
+    tb = t
+    while tb > 2 and _bwd_vmem_bytes(tb, h, w, cp, cop) > budget:
+        tb = -(-tb // 2)
+    return tb
 
 
 def fused_supported(mode: str, h: int, w: int, t_total: int,
@@ -135,9 +150,9 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
     Returns (use_fused, interpret). Env AD_TPU_FUSED_CONV: '0' disables,
     'interpret' forces the kernel in interpreter mode (CPU tests), unset/'1'
     enables on TPU for tileable shapes. Shapes whose backward kernel would
-    not fit VMEM (see _bwd_vmem_bytes; budget AD_TPU_FUSED_VMEM_MB, default
-    96) fall back to the XLA path -- with cin/cout unknown (0) the check is
-    skipped for backward compatibility.
+    not fit VMEM even at the minimum frame-block size (see _bwd_vmem_bytes /
+    _pick_tb) fall back to the XLA path -- with cin/cout unknown (0) the
+    check is skipped for backward compatibility.
     """
     import os
     env = os.environ.get("AD_TPU_FUSED_CONV", "")
@@ -149,7 +164,7 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
         cp = _cpad(max(cin, 1))
         cop = max(_cpad(max(cout, 1)), 8)
         budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "96")) << 20
-        if _bwd_vmem_bytes(t_total // 2, h, w, cp, cop) > budget:
+        if _bwd_vmem_bytes(2, h, w, cp, cop) > budget:
             return False, False
     if env == "interpret":
         return True, True
@@ -230,16 +245,26 @@ def _dot_cn(a, b):
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel: grid (B,), static loop over T
+# Forward kernel: grid (B, ceil(T/TB)), loop over the TB-frame block
+#
+# Large models (CS: 256ch at 32x32, T=16) cannot hold the whole (T, 2, C, L)
+# slab in VMEM, so the time axis is split into TB-frame blocks. The causal
+# context needs the transformed CLEAN frames t0-1, t0-2 from before the
+# block: they arrive as two single-frame clamped-index halo views of the
+# same input and are transformed once into the ring scratch before the
+# loop (pre-clip frames preload the ones frame instead -- which also
+# removes the per-frame where(t>=k, ring, ones) selects the unblocked
+# kernel needed). TB=T reproduces the original single-block behavior.
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xq, w2p, w3p, cvq, gates, out, *rest,
-                t_frames: int, w: int, hw: int, silu_in: bool,
+def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
+                tb: int, t_total: int, w: int, hw: int, silu_in: bool,
                 has_cv: bool, with_ctx: bool, mm_dtype):
     if with_ctx:
         y2d_res, ctx_res, a_scr, tr_ring = rest
     else:
         a_scr, tr_ring = rest
+    t0 = pl.program_id(1) * tb
     c = xq.shape[-2]
     l = xq.shape[-1]
     masks = _make_masks(c, hw, w)
@@ -247,50 +272,77 @@ def _fwd_kernel(xq, w2p, w3p, cvq, gates, out, *rest,
     if with_ctx:
         w3a = w3p[:9 * c].astype(mm_dtype)
         w3b = w3p[9 * c:].astype(mm_dtype)
-        ones = _ones_interior(c, l, w)
 
-    def transform(t, s):
-        xv = xq[0, t, s].astype(F32)
+    def transform(j, s):
+        xv = xq[0, j, s].astype(F32)
         if has_cv:
-            xv = xv * cvq[0, t, s].astype(F32)[:, None]
+            xv = xv * cvq[0, j, s].astype(F32)[:, None]
+        return _silu_f32(xv) if silu_in else xv
+
+    def transform_halo(xh, cvh):
+        xv = xh[0, 0, 0].astype(F32)
+        if has_cv:
+            xv = xv * cvh[0, 0, 0].astype(F32)[:, None]
         return _silu_f32(xv) if silu_in else xv
 
     def conv2d(tr):
         _stack_into(a_scr, 0, tr, w, hw, masks)
         return _dot_kc(w2, a_scr[...])
 
-    def body(t, _):
-        tr_c = transform(t, 0)
+    if with_ctx:
+        ones = _ones_interior(c, l, w)
+        # ring slot for frame t is t % 2 -- preload t0-2 (same parity as
+        # t0) and t0-1; ones before the clip start (reference conv.py:68)
+        tr_ring[t0 % 2] = jnp.where(t0 >= 2, transform_halo(xh0, cvh0),
+                                    ones)
+        tr_ring[(t0 + 1) % 2] = jnp.where(t0 >= 1,
+                                          transform_halo(xh1, cvh1), ones)
+
+    def body(j, _):
+        t = t0 + j
+        tr_c = transform(j, 0)
         y2d_c = conv2d(tr_c)
-        y2d_n = conv2d(transform(t, 1))
+        y2d_n = conv2d(transform(j, 1))
         if with_ctx:
-            # transformed clean frames t-1, t-2 come from the 2-slot ring
-            # (written at their own iteration); ones before the clip.
-            tr2 = jnp.where(t >= 2, tr_ring[t % 2], ones)
-            tr1 = jnp.where(t >= 1, tr_ring[(t + 1) % 2], ones)
+            # transformed clean frames t-2, t-1 from the 2-slot ring
+            # (preloaded or written at their own iteration)
+            tr2 = tr_ring[t % 2]
+            tr1 = tr_ring[(t + 1) % 2]
             _stack_into(a_scr, 0, tr2, w, hw, masks)
             ctx = _dot_kc(w3a, a_scr[...])
             _stack_into(a_scr, 0, tr1, w, hw, masks)
             ctx = ctx + _dot_kc(w3b, a_scr[...])
-            g_c = gates[0, t, 0, 0]
-            g_n = gates[0, t, 0, 1]
-            out[0, t, 0] = _blend(y2d_c, ctx, g_c).astype(out.dtype)
-            out[0, t, 1] = _blend(y2d_n, ctx, g_n).astype(out.dtype)
+            g_c = gates[0, j, 0, 0]
+            g_n = gates[0, j, 0, 1]
+            out[0, j, 0] = _blend(y2d_c, ctx, g_c).astype(out.dtype)
+            out[0, j, 1] = _blend(y2d_n, ctx, g_n).astype(out.dtype)
             # residuals for the backward pass (blend partials need them)
-            y2d_res[0, t, 0] = y2d_c.astype(y2d_res.dtype)
-            y2d_res[0, t, 1] = y2d_n.astype(y2d_res.dtype)
-            ctx_res[0, t, 0] = ctx.astype(ctx_res.dtype)
+            y2d_res[0, j, 0] = y2d_c.astype(y2d_res.dtype)
+            y2d_res[0, j, 1] = y2d_n.astype(y2d_res.dtype)
+            ctx_res[0, j, 0] = ctx.astype(ctx_res.dtype)
             tr_ring[t % 2] = tr_c
         else:
-            out[0, t, 0] = y2d_c.astype(out.dtype)
-            out[0, t, 1] = y2d_n.astype(out.dtype)
+            out[0, j, 0] = y2d_c.astype(out.dtype)
+            out[0, j, 1] = y2d_n.astype(out.dtype)
         return 0
 
-    jax.lax.fori_loop(0, t_frames, body, 0)
+    # dynamic bound: the last block may be partial
+    jax.lax.fori_loop(0, jnp.minimum(tb, t_total - t0), body, 0)
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel: grid (B,), static loop over T
+# Backward kernel: grid (B, ceil(T/TB)), loop over the TB-frame block.
+#
+# dX for a CLEAN frame t collects contributions from its own convs and from
+# the context convs of frames t+1, t+2. Inside a block those arrive through
+# the 3-slot pending ring exactly as in the unblocked kernel; contributions
+# that cross the block boundary are recomputed by the receiving program
+# from two single-frame forward halo views of (gout, y2d_res, ctx_res,
+# gates) -- frames t0+tb, t0+tb+1 -- in two static epilogue steps (only the
+# blend backward + inverse-stack dot, no dW/dX writes: those belong to the
+# program that owns the halo frames). The transformed-clean ring mirrors
+# the forward preload, replacing the unblocked kernel's per-frame
+# recompute of frames t-1/t-2.
 # ---------------------------------------------------------------------------
 
 def _stack_inv_into(scr, da, gscr, w: int, hw: int, masks):
@@ -312,12 +364,15 @@ def _stack_inv_into(scr, da, gscr, w: int, hw: int, masks):
         scr[k * co:(k + 1) * co, :] = _roll(gscr[...], -off)
 
 
-def _bwd_kernel(xq, w2t, w3at, w3bt, cvq, gates, gout, y2dres, ctxres,
+def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
+                gout, y2dres, ctxres, gouth0, gouth1, yrh0, yrh1, crh0,
+                crh1, gateh0, gateh1,
                 dxq, dw2t, dw3at, dw3bt, dcvq, dgates,
-                si_scr, g_scr, pend_ring,
-                *, t_frames: int, w: int, hw: int, silu_in: bool,
+                si_scr, g_scr, pend_ring, tr_ring,
+                *, tb: int, t_total: int, w: int, hw: int, silu_in: bool,
                 has_cv: bool, with_ctx: bool, mm_dtype):
     b_i = pl.program_id(0)
+    t0 = pl.program_id(1) * tb
     c = xq.shape[-2]
     l = xq.shape[-1]
     cop = gout.shape[-2]
@@ -326,28 +381,33 @@ def _bwd_kernel(xq, w2t, w3at, w3bt, cvq, gates, gout, y2dres, ctxres,
     if with_ctx:
         w3am = w3at[...].astype(mm_dtype)
         w3bm = w3bt[...].astype(mm_dtype)
-        ones = _ones_interior(c, l, w)
 
-    @pl.when(b_i == 0)
+    @pl.when((b_i == 0) & (t0 == 0))
     def _():
         dw2t[...] = jnp.zeros_like(dw2t)
         if with_ctx:
             dw3at[...] = jnp.zeros_like(dw3at)
             dw3bt[...] = jnp.zeros_like(dw3bt)
 
-    def parts(t, s):
-        """raw, pre-silu z, transformed."""
-        xv = xq[0, t, s].astype(F32)
-        z = xv * cvq[0, t, s].astype(F32)[:, None] if has_cv else xv
+    def parts(j, s):
+        """raw, pre-silu z, transformed (local frame j)."""
+        xv = xq[0, j, s].astype(F32)
+        z = xv * cvq[0, j, s].astype(F32)[:, None] if has_cv else xv
         tr = _silu_f32(z) if silu_in else z
         return xv, z, tr
 
-    def back_transform(dtr, t, s, xv, z):
+    def transform_halo(xh, cvh):
+        xv = xh[0, 0, 0].astype(F32)
+        if has_cv:
+            xv = xv * cvh[0, 0, 0].astype(F32)[:, None]
+        return _silu_f32(xv) if silu_in else xv
+
+    def back_transform(dtr, j, s, xv, z):
         """dtr (grad wrt transformed) -> write dcv, return grad wrt raw."""
         dz = dtr * _dsilu_f32(z) if silu_in else dtr
         if has_cv:
-            dcvq[0, t, s] = jnp.sum(dz * xv, axis=1).astype(dcvq.dtype)
-            dz = dz * cvq[0, t, s].astype(F32)[:, None]
+            dcvq[0, j, s] = jnp.sum(dz * xv, axis=1).astype(dcvq.dtype)
+            dz = dz * cvq[0, j, s].astype(F32)[:, None]
         return dz
 
     def blend_bwd(go, a, b, g):
@@ -365,27 +425,38 @@ def _bwd_kernel(xq, w2t, w3at, w3bt, cvq, gates, gout, y2dres, ctxres,
         dw = _dot_nn(si, tr.astype(mm_dtype))
         return dtr, dw
 
-    def finalize_clean(t):
-        x_c, z_c, _ = parts(t, 0)
+    def finalize_clean(j):
+        t = t0 + j
+        x_c, z_c, _ = parts(j, 0)
         dtr = pend_ring[t % 3]
-        dxq[0, t, 0] = back_transform(dtr, t, 0, x_c, z_c).astype(dxq.dtype)
+        dxq[0, j, 0] = back_transform(dtr, j, 0, x_c, z_c).astype(dxq.dtype)
         pend_ring[t % 3] = jnp.zeros((c, l), F32)
 
-    def body(t, _):
-        x_n, z_n, tr_n = parts(t, 1)
-        _, _, tr_c = parts(t, 0)
-        go_c = gout[0, t, 0].astype(F32)
-        go_n = gout[0, t, 1].astype(F32)
+    if with_ctx:
+        ones = _ones_interior(c, l, w)
+        # transformed-clean ring preloaded with frames t0-2, t0-1 (ones
+        # before the clip), mirroring the forward kernel
+        tr_ring[t0 % 2] = jnp.where(t0 >= 2, transform_halo(xh0, cvh0),
+                                    ones)
+        tr_ring[(t0 + 1) % 2] = jnp.where(t0 >= 1,
+                                          transform_halo(xh1, cvh1), ones)
+
+    def body(j, _):
+        t = t0 + j
+        x_n, z_n, tr_n = parts(j, 1)
+        _, _, tr_c = parts(j, 0)
+        go_c = gout[0, j, 0].astype(F32)
+        go_n = gout[0, j, 1].astype(F32)
 
         if with_ctx:
-            y2d_c = y2dres[0, t, 0].astype(F32)
-            y2d_n = y2dres[0, t, 1].astype(F32)
-            ctx = ctxres[0, t, 0].astype(F32)
-            g_c, g_n = gates[0, t, 0, 0], gates[0, t, 0, 1]
+            y2d_c = y2dres[0, j, 0].astype(F32)
+            y2d_n = y2dres[0, j, 1].astype(F32)
+            ctx = ctxres[0, j, 0].astype(F32)
+            g_c, g_n = gates[0, j, 0, 0], gates[0, j, 0, 1]
             da_c, db_c, dg_c = blend_bwd(go_c, y2d_c, ctx, g_c)
             da_n, db_n, dg_n = blend_bwd(go_n, y2d_n, ctx, g_n)
-            dgates[0, t, 0, 0] = dg_c
-            dgates[0, t, 0, 1] = dg_n
+            dgates[0, j, 0, 0] = dg_c
+            dgates[0, j, 0, 1] = dg_n
         else:
             da_c, da_n = go_c, go_n
 
@@ -394,10 +465,8 @@ def _bwd_kernel(xq, w2t, w3at, w3bt, cvq, gates, gout, y2dres, ctxres,
         dw2t[...] += dw_c + dw_n
 
         if with_ctx:
-            _, _, p2 = parts(jnp.maximum(t - 2, 0), 0)
-            _, _, p1 = parts(jnp.maximum(t - 1, 0), 0)
-            tr2 = jnp.where(t >= 2, p2, ones)
-            tr1 = jnp.where(t >= 1, p1, ones)
+            tr2 = tr_ring[t % 2]
+            tr1 = tr_ring[(t + 1) % 2]
             dctx = db_c + db_n
             _stack_inv_into(si_scr, dctx, g_scr, w, hw, masks)
             si = si_scr[...].astype(mm_dtype)
@@ -406,28 +475,70 @@ def _bwd_kernel(xq, w2t, w3at, w3bt, cvq, gates, gout, y2dres, ctxres,
             d2 = _dot_kc(w3am, si)
             d1 = _dot_kc(w3bm, si)
 
-            @pl.when(t >= 2)
+            # pushes stay within this block: contributions into the
+            # previous block's frames are recomputed by that block's halo
+            # epilogue (pushing here would corrupt ring slots this block
+            # reuses for its own frames)
+            @pl.when(j >= 2)
             def _():
                 pend_ring[(t - 2) % 3] += d2
 
-            @pl.when(t >= 1)
+            @pl.when(j >= 1)
             def _():
                 pend_ring[(t - 1) % 3] += d1
 
-        dxq[0, t, 1] = back_transform(dtr_n, t, 1, x_n, z_n).astype(dxq.dtype)
+            tr_ring[t % 2] = tr_c
+
+        dxq[0, j, 1] = back_transform(dtr_n, j, 1, x_n, z_n).astype(dxq.dtype)
         pend_ring[t % 3] += dtr_c
 
         # frame t-2's pending grad is now complete
-        @pl.when(t >= 2)
+        @pl.when(j >= 2)
         def _():
-            finalize_clean(t - 2)
+            finalize_clean(j - 2)
         return 0
 
     # ring slots must start at zero (uninitialized VMEM otherwise)
     pend_ring[...] = jnp.zeros(pend_ring.shape, F32)
-    jax.lax.fori_loop(0, t_frames, body, 0)
-    for tt in range(max(t_frames - 2, 0), t_frames):
-        finalize_clean(tt)
+    jmax = jnp.minimum(tb, t_total - t0)
+    jax.lax.fori_loop(0, jmax, body, 0)
+
+    if with_ctx:
+        # halo epilogue: context-conv gradients of frames t0+tb, t0+tb+1
+        # land in this block's last two frames. Only the blend backward +
+        # inverse-stack dots run here; dW/dX/dgate writes for the halo
+        # frames belong to the program that owns them.
+        def halo_push(gh, yh, ch, gateh, jh):
+            s = t0 + tb + jh
+
+            @pl.when(s < t_total)
+            def _():
+                go_c = gh[0, 0, 0].astype(F32)
+                go_n = gh[0, 0, 1].astype(F32)
+                y2d_c = yh[0, 0, 0].astype(F32)
+                y2d_n = yh[0, 0, 1].astype(F32)
+                ctx = ch[0, 0, 0].astype(F32)
+                g_c, g_n = gateh[0, 0, 0, 0], gateh[0, 0, 0, 1]
+                _, db_c, _ = blend_bwd(go_c, y2d_c, ctx, g_c)
+                _, db_n, _ = blend_bwd(go_n, y2d_n, ctx, g_n)
+                _stack_inv_into(si_scr, db_c + db_n, g_scr, w, hw, masks)
+                si = si_scr[...].astype(mm_dtype)
+                # d2 -> local tb-2+jh; d1 -> local tb-1+jh (only in-block)
+                pend_ring[(s - 2) % 3] += _dot_kc(w3am, si)
+                if jh == 0:
+                    pend_ring[(s - 1) % 3] += _dot_kc(w3bm, si)
+
+        halo_push(gouth0, yrh0, crh0, gateh0, 0)
+        halo_push(gouth1, yrh1, crh1, gateh1, 1)
+
+    # finalize the block's last two frames (dynamic: block may be partial)
+    @pl.when(jmax >= 2)
+    def _():
+        finalize_clean(jmax - 2)
+
+    @pl.when(jmax >= 1)
+    def _():
+        finalize_clean(jmax - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -456,17 +567,33 @@ def _dummy_cv(xp):
     return jnp.zeros((b, t, 2, xp.shape[3]), xp.dtype)
 
 
-def _specs(t, cp, cop, l):
+def _specs(tb, cp, cop, l):
+    """Blocked input specs for the (B, ceil(T/TB)) grid: main blocks are
+    indexed (b, i); the two halo views are single-frame clamped-index views
+    of the SAME arrays (frames i*TB-2 and i*TB-1; clamping at 0 is safe --
+    the kernel substitutes the ones frame before the clip start)."""
     vm = pltpu.VMEM
-    xq = pl.BlockSpec((1, t, 2, cp, l), lambda b: (b, 0, 0, 0, 0),
+    xq = pl.BlockSpec((1, tb, 2, cp, l), lambda b, i: (b, i, 0, 0, 0),
                       memory_space=vm)
-    w2 = pl.BlockSpec((9 * cp, cop), lambda b: (0, 0), memory_space=vm)
-    w3 = pl.BlockSpec((18 * cp, cop), lambda b: (0, 0), memory_space=vm)
-    cvq = pl.BlockSpec((1, t, 2, cp), lambda b: (b, 0, 0, 0),
+    xh0 = pl.BlockSpec((1, 1, 2, cp, l),
+                       lambda b, i: (b, jnp.maximum(i * tb - 2, 0), 0, 0, 0),
                        memory_space=vm)
-    gates = pl.BlockSpec((1, t, 1, 2), lambda b: (b, 0, 0, 0),
+    xh1 = pl.BlockSpec((1, 1, 2, cp, l),
+                       lambda b, i: (b, jnp.maximum(i * tb - 1, 0), 0, 0, 0),
+                       memory_space=vm)
+    w2 = pl.BlockSpec((9 * cp, cop), lambda b, i: (0, 0), memory_space=vm)
+    w3 = pl.BlockSpec((18 * cp, cop), lambda b, i: (0, 0), memory_space=vm)
+    cvq = pl.BlockSpec((1, tb, 2, cp), lambda b, i: (b, i, 0, 0),
+                       memory_space=vm)
+    cvh0 = pl.BlockSpec((1, 1, 2, cp),
+                        lambda b, i: (b, jnp.maximum(i * tb - 2, 0), 0, 0),
+                        memory_space=vm)
+    cvh1 = pl.BlockSpec((1, 1, 2, cp),
+                        lambda b, i: (b, jnp.maximum(i * tb - 1, 0), 0, 0),
+                        memory_space=vm)
+    gates = pl.BlockSpec((1, tb, 1, 2), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.SMEM)
-    return xq, w2, w3, cvq, gates
+    return xq, xh0, xh1, w2, w3, cvq, cvh0, cvh1, gates
 
 
 def _vmem_params(*byte_counts):
@@ -505,34 +632,39 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
     if cv is None:
         cv = _dummy_cv(xp)
     mm_dtype = xp.dtype if xp.dtype == jnp.bfloat16 else F32
-    xq, w2s, w3s, cvq, gsp = _specs(t, cp, cop, l)
+    tb = _pick_tb(t, h, w, cp, cop)
+    nt = -(-t // tb)
+    xq, xh0, xh1, w2s, w3s, cvq, cvh0, cvh1, gsp = _specs(tb, cp, cop, l)
     kernel = functools.partial(
-        _fwd_kernel, t_frames=t, w=w, hw=hw, silu_in=silu_in,
+        _fwd_kernel, tb=tb, t_total=t, w=w, hw=hw, silu_in=silu_in,
         has_cv=has_cv, with_ctx=with_ctx, mm_dtype=mm_dtype)
-    osp = pl.BlockSpec((1, t, 2, cop, hw), lambda b_: (b_, 0, 0, 0, 0),
+    osp = pl.BlockSpec((1, tb, 2, cop, hw), lambda b_, i: (b_, i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     osh = jax.ShapeDtypeStruct((b, t, 2, cop, hw), xp.dtype)
     if with_ctx:
-        csp = pl.BlockSpec((1, t, 1, cop, hw), lambda b_: (b_, 0, 0, 0, 0),
+        csp = pl.BlockSpec((1, tb, 1, cop, hw),
+                           lambda b_, i: (b_, i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
         csh = jax.ShapeDtypeStruct((b, t, 1, cop, hw), xp.dtype)
         out_specs, out_shape = [osp, osp, csp], [osh, osh, csh]
     else:
         out_specs, out_shape = [osp], [osh]
+    cvf = cv
+    gf = gates.astype(F32)[:, :, None]
     res = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[xq, w2s, w3s, cvq, gsp],
+        grid=(b, nt),
+        in_specs=[xq, xh0, xh1, w2s, w3s, cvq, cvh0, cvh1, gsp],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((9 * cp, hw), mm_dtype),
                         pltpu.VMEM((2, cp, l), F32)],
         compiler_params=_vmem_params(
-            t * 2 * cp * l * 2 * 2, t * 2 * cop * hw * 2 * (3 if with_ctx
-                                                            else 1),
+            tb * 2 * cp * l * 2 * 2, 2 * 2 * cp * l * 2,
+            tb * 2 * cop * hw * 2 * (3 if with_ctx else 1),
             9 * cp * hw * 2, 2 * cp * l * 4),
         interpret=interpret,
-    )(xp, w2p, w3p, cv, gates.astype(F32)[:, :, None])
+    )(xp, xp, xp, w2p, w3p, cvf, cvf, cvf, gf)
     if with_ctx:
         return res[0], res[1], res[2]
     return res[0], None, None
@@ -572,32 +704,44 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
     cv = (jnp.pad(cvec, ((0, 0), (0, 0), (0, 0), (0, cp - c_raw)))
           if has_cv else _dummy_cv(xp))
     mm_dtype = xp.dtype if xp.dtype == jnp.bfloat16 else F32
+    tb = _pick_tb(t, h, w, cp, cop)
+    nt = -(-t // tb)
     vm = pltpu.VMEM
-    xq = pl.BlockSpec((1, t, 2, cp, l), lambda b_: (b_, 0, 0, 0, 0),
-                      memory_space=vm)
-    wts = pl.BlockSpec((9 * cop, cp), lambda b_: (0, 0), memory_space=vm)
-    cvq = pl.BlockSpec((1, t, 2, cp), lambda b_: (b_, 0, 0, 0),
-                       memory_space=vm)
-    gsp = pl.BlockSpec((1, t, 1, 2), lambda b_: (b_, 0, 0, 0),
-                       memory_space=pltpu.SMEM)
-    goutsp = pl.BlockSpec((1, t, 2, cop, hw), lambda b_: (b_, 0, 0, 0, 0),
-                          memory_space=vm)
-    ctxsp = pl.BlockSpec((1, t, 1, cop, hw), lambda b_: (b_, 0, 0, 0, 0),
-                         memory_space=vm)
+    (xq, xh0, xh1, _, _, cvq, cvh0, cvh1, gsp) = _specs(tb, cp, cop, l)
+    wts = pl.BlockSpec((9 * cop, cp), lambda b_, i: (0, 0), memory_space=vm)
+    goutsp = pl.BlockSpec((1, tb, 2, cop, hw),
+                          lambda b_, i: (b_, i, 0, 0, 0), memory_space=vm)
+    ctxsp = pl.BlockSpec((1, tb, 1, cop, hw),
+                         lambda b_, i: (b_, i, 0, 0, 0), memory_space=vm)
+
+    # forward-looking single-frame halo views (frames i*TB+TB, i*TB+TB+1,
+    # clamped into range; the kernel predicates on s < T)
+    def _fh(jh, tdim):
+        def idx(b_, i):
+            return ((b_, jnp.minimum((i + 1) * tb + jh, t - 1)) +
+                    (0,) * (tdim - 2))
+        return idx
+
+    gouth = [pl.BlockSpec((1, 1, 2, cop, hw), _fh(jh, 5), memory_space=vm)
+             for jh in (0, 1)]
+    ctxh = [pl.BlockSpec((1, 1, 1, cop, hw), _fh(jh, 5), memory_space=vm)
+            for jh in (0, 1)]
+    gateh = [pl.BlockSpec((1, 1, 1, 2), _fh(jh, 4),
+                          memory_space=pltpu.SMEM) for jh in (0, 1)]
     if y2d_res is None:
         y2d_res = gout      # unread placeholder operand (no-ctx path)
         ctx_res = jnp.zeros((b, t, 1, cop, hw), xp.dtype)
     out_specs = [
-        pl.BlockSpec((1, t, 2, cp, l), lambda b_: (b_, 0, 0, 0, 0),
+        pl.BlockSpec((1, tb, 2, cp, l), lambda b_, i: (b_, i, 0, 0, 0),
                      memory_space=vm),                           # dxq
         wts,                                                     # dw2t
-        pl.BlockSpec((9 * cop, cp), lambda b_: (0, 0),
+        pl.BlockSpec((9 * cop, cp), lambda b_, i: (0, 0),
                      memory_space=vm),                           # dw3at
-        pl.BlockSpec((9 * cop, cp), lambda b_: (0, 0),
+        pl.BlockSpec((9 * cop, cp), lambda b_, i: (0, 0),
                      memory_space=vm),                           # dw3bt
-        pl.BlockSpec((1, t, 2, cp), lambda b_: (b_, 0, 0, 0),
+        pl.BlockSpec((1, tb, 2, cp), lambda b_, i: (b_, i, 0, 0),
                      memory_space=vm),                           # dcvq
-        pl.BlockSpec((1, t, 1, 2), lambda b_: (b_, 0, 0, 0),
+        pl.BlockSpec((1, tb, 1, 2), lambda b_, i: (b_, i, 0, 0),
                      memory_space=pltpu.SMEM),                   # dgates
     ]
     out_shapes = [
@@ -609,25 +753,32 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
         jax.ShapeDtypeStruct((b, t, 1, 2), F32),
     ]
     kernel = functools.partial(
-        _bwd_kernel, t_frames=t, w=w, hw=hw, silu_in=silu_in,
+        _bwd_kernel, tb=tb, t_total=t, w=w, hw=hw, silu_in=silu_in,
         has_cv=has_cv, with_ctx=with_ctx, mm_dtype=mm_dtype)
+    gf = gates.astype(F32)[:, :, None]
     dxq, dw2t, dw3at_o, dw3bt_o, dcvq, dgates = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[xq, wts, wts, wts, cvq, gsp, goutsp, goutsp, ctxsp],
+        grid=(b, nt),
+        in_specs=[xq, xh0, xh1, wts, wts, wts, cvq, cvh0, cvh1, gsp,
+                  goutsp, goutsp, ctxsp, gouth[0], gouth[1],
+                  gouth[0], gouth[1], ctxh[0], ctxh[1],
+                  gateh[0], gateh[1]],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((9 * cop, l), F32),
             pltpu.VMEM((cop, l), F32),
             pltpu.VMEM((3, cp, l), F32),
+            pltpu.VMEM((2, cp, l), F32),
         ],
         compiler_params=_vmem_params(
-            t * 2 * cp * l * 2 * 3, t * 2 * cop * hw * 2 * 3,
-            9 * cop * l * 4, 3 * cp * l * 4, 2 * 9 * cop * cp * 4),
+            tb * 2 * cp * l * 2 * 3, 2 * 2 * cp * l * 2,
+            tb * 2 * cop * hw * 2 * 3, 5 * cop * hw * 2,
+            9 * cop * l * 4, 5 * cp * l * 4, 2 * 9 * cop * cp * 4),
         interpret=interpret,
-    )(xp, w2t, w3at, w3bt, cv, gates.astype(F32)[:, :, None],
-      gout, y2d_res, ctx_res)
+    )(xp, xp, xp, w2t, w3at, w3bt, cv, cv, cv, gf,
+      gout, y2d_res, ctx_res, gout, gout, y2d_res, y2d_res,
+      ctx_res, ctx_res, gf, gf)
 
     def unpack_dwt(dwt, taps):
         n = 1

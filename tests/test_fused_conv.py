@@ -173,3 +173,34 @@ def test_fused_enc_skip_block_grads_finite_and_match():
     for a, b_ in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_f)):
         denom = np.abs(np.asarray(a, np.float64)).max() + 1e-6
         assert np.abs(np.asarray(a) - np.asarray(b_)).max() / denom < 2e-3
+
+
+def test_fused_kernel_frame_blocked_matches_oracle(monkeypatch):
+    """Frame-blocked grid (TB < T): nt = ceil(5/2) = 3 programs per batch
+    element with a partial last block, halo views crossing every block
+    boundary, and cross-block context gradients recomputed by the halo
+    epilogue. Must match the dense oracle fwd + all grads exactly like the
+    single-block path."""
+    monkeypatch.setenv("AD_TPU_FUSED_TB", "2")
+    h = w = 8
+    xp, w2, w3, cvec, gates = _setup(h=h, w=w, t=5, seed=3)
+    args = (xp, w2, w3, cvec, gates)
+
+    out_k = fc.fused_gated_conv(*args, h, w, True, True, True)
+    out_r = fc.fused_gated_conv_reference(*args, h, w, True, True)
+    _rel_check(out_k, out_r)
+
+    probe = jnp.cos(jnp.arange(out_r.size).reshape(out_r.shape) * 0.37)
+
+    def loss_k(*a):
+        return jnp.sum(fc.fused_gated_conv(*a, h, w, True, True, True)
+                       * probe)
+
+    def loss_r(*a):
+        return jnp.sum(fc.fused_gated_conv_reference(*a, h, w, True, True)
+                       * probe)
+
+    gk = jax.grad(loss_k, (0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss_r, (0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(["dx", "dw2", "dw3", "dcv", "dgates"], gk, gr):
+        _rel_check(a, b)
