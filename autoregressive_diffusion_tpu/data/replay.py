@@ -19,9 +19,19 @@ slower than learning.
 
 Producer thread errors are captured and re-raised on the consumer side
 (mirrors torch DataLoader worker-error propagation).
+
+SINGLE DEVICE OWNER: when `transform` does device work (VAE encode), it
+must NOT run on the producer thread -- two host threads dispatching to the
+tunneled TPU runtime concurrently wedge the device queue (observed: a gym
+training run froze ~1h in with every thread in futex wait). With
+`main_thread_transform=True` (the default when a transform is given) the
+producer stays pure-CPU (env stepping into a small bounded raw queue) and
+the CONSUMER drains + transforms queued items between training steps, so
+exactly one thread ever touches the device.
 """
 from __future__ import annotations
 
+import queue
 import threading
 from typing import Callable, Iterator, Optional, Sequence
 
@@ -35,9 +45,10 @@ class ReplayLoader:
     generator  -- yields tuples of array-likes (e.g. (frames, actions,
                   reward) from GymDataGenerator); all items must have
                   consistent shapes/dtypes.
-    transform  -- optional producer-side fn(item_tuple) -> tuple, applied
-                  before storage (e.g. VAE-encode frames to latents on
-                  device; jax serializes device work against train steps).
+    transform  -- optional fn(item_tuple) -> tuple, applied before storage
+                  (e.g. VAE-encode frames to latents on device). Runs on
+                  the CONSUMER thread (see module docstring) unless
+                  main_thread_transform=False.
     capacity   -- ring size in items. Memory = capacity * item nbytes.
     min_fill   -- batches are not served until this many items arrived.
     """
@@ -45,7 +56,7 @@ class ReplayLoader:
     def __init__(self, generator, batch_size: int, capacity: int = 2048,
                  min_fill: Optional[int] = None,
                  transform: Optional[Callable] = None,
-                 seed: int = 0):
+                 seed: int = 0, main_thread_transform: bool = True):
         if capacity < batch_size:
             raise ValueError(f"capacity {capacity} < batch_size {batch_size}")
         self.generator = generator
@@ -64,6 +75,12 @@ class ReplayLoader:
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
         self._producer_done = False
+        # consumer-side transform: producer fills a small bounded raw queue
+        # (blocking when full pauses the env -- fine), consumer drains it
+        self._consumer_transform = (transform is not None
+                                    and main_thread_transform)
+        self._pending: Optional[queue.Queue] = (
+            queue.Queue(maxsize=8) if self._consumer_transform else None)
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
@@ -81,17 +98,20 @@ class ReplayLoader:
             for item in self.generator:
                 if self._stop.is_set():
                     return
+                if self._consumer_transform:
+                    # device-touching transform runs on the consumer thread;
+                    # hand the raw item over (blocking put pauses the env
+                    # when the consumer lags)
+                    while not self._stop.is_set():
+                        try:
+                            self._pending.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    continue
                 if self.transform is not None:
                     item = self.transform(item)
-                item = tuple(np.asarray(f) for f in item)
-                with self._lock:
-                    if self._buffers is None:
-                        self._alloc(item)
-                    slot = self._count % self.capacity
-                    for buf, field in zip(self._buffers, item):
-                        buf[slot] = field
-                    self._count += 1
-                    self._has_data.notify_all()
+                self._store(item)
         except BaseException as e:  # propagate to consumer
             with self._lock:
                 self._error = e
@@ -101,26 +121,69 @@ class ReplayLoader:
                 self._producer_done = True
                 self._has_data.notify_all()
 
+    def _store(self, item):
+        item = tuple(np.asarray(f) for f in item)
+        with self._lock:
+            if self._buffers is None:
+                self._alloc(item)
+            slot = self._count % self.capacity
+            for buf, field in zip(self._buffers, item):
+                buf[slot] = field
+            self._count += 1
+            self._has_data.notify_all()
+
     # ---- consumer ----------------------------------------------------------
 
+    def _ingest(self, max_items: Optional[int] = None):
+        """Drain queued raw items, transform on THIS thread, store. Called
+        from the consumer loop so the device only ever sees one thread."""
+        if not self._consumer_transform:
+            return
+        done = 0
+        while max_items is None or done < max_items:
+            try:
+                item = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            self._store(self.transform(item))
+            done += 1
+
     def __iter__(self) -> Iterator:
+        import time as _time
         while True:
+            self._ingest()
+            batch = None
             with self._has_data:
-                while (self._error is None and self._count < self.min_fill
-                       and not self._producer_done):
-                    self._has_data.wait(timeout=1.0)
                 if self._error is not None:
                     raise RuntimeError("replay producer failed") from self._error
                 n = min(self._count, self.capacity)
-                if n < self.batch_size:
-                    if self._producer_done:
-                        return  # generator too short to ever serve a batch
-                    continue
-                idx = self._rng.choice(n, size=self.batch_size,
-                                       replace=False)
-                batch = tuple(buf[idx].copy() for buf in self._buffers)
-                self._drawn += self.batch_size
-            yield batch
+                drained = self._producer_done and self._pending_empty()
+                if n < self.min_fill and not drained:
+                    pass  # keep filling below
+                elif n >= self.batch_size:
+                    idx = self._rng.choice(n, size=self.batch_size,
+                                           replace=False)
+                    batch = tuple(buf[idx].copy() for buf in self._buffers)
+                    self._drawn += self.batch_size
+                elif drained:
+                    return  # generator too short to ever serve a batch
+            if batch is not None:
+                yield batch
+                continue
+            # still filling: wait for the producer without spinning the core
+            # it needs (consumer-transform mode cannot block in the condvar
+            # -- the producer only fills the raw queue, we must keep
+            # ingesting)
+            if self._consumer_transform:
+                _time.sleep(0.05)
+            else:
+                with self._has_data:
+                    if (self._error is None and self._count < self.min_fill
+                            and not self._producer_done):
+                        self._has_data.wait(timeout=1.0)
+
+    def _pending_empty(self) -> bool:
+        return self._pending is None or self._pending.empty()
 
     def stats(self) -> dict:
         with self._lock:

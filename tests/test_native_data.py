@@ -144,3 +144,38 @@ def test_replay_loader_exhausted_short_generator_stops():
     gen = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=2)
     loader = ReplayLoader(gen, batch_size=4, capacity=8, min_fill=4)
     assert sum(1 for _ in loader) == 0
+
+
+def test_replay_loader_transform_runs_on_consumer_thread():
+    """Device-touching transforms must run on the CONSUMER thread (two host
+    threads dispatching to the tunneled TPU wedge the device queue -- the
+    single-device-owner rule, data/replay.py module docstring)."""
+    import threading
+
+    from autoregressive_diffusion_tpu.data import (ReplayLoader,
+                                                   SyntheticVideoGenerator)
+
+    seen_threads = set()
+
+    def xform(item):
+        seen_threads.add(threading.get_ident())
+        return (item[0].astype(np.float32), item[1])
+
+    gen = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=10)
+    loader = ReplayLoader(gen, batch_size=2, capacity=8, transform=xform)
+    it = iter(loader)
+    for _ in range(5):
+        next(it)
+    assert seen_threads == {threading.get_ident()}
+    s = loader.stats()
+    assert s["produced"] >= loader.min_fill
+    loader.stop()
+
+    # legacy producer-side mode still available for pure-CPU transforms
+    gen2 = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=6)
+    seen_threads.clear()
+    loader2 = ReplayLoader(gen2, batch_size=2, capacity=8, transform=xform,
+                           main_thread_transform=False)
+    next(iter(loader2))
+    assert threading.get_ident() not in seen_threads
+    loader2.stop()
