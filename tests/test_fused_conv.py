@@ -204,3 +204,38 @@ def test_fused_kernel_frame_blocked_matches_oracle(monkeypatch):
     gr = jax.grad(loss_r, (0, 1, 2, 3, 4))(*args)
     for name, a, b in zip(["dx", "dw2", "dw3", "dcv", "dgates"], gk, gr):
         _rel_check(a, b)
+
+
+def test_vmem_gate_and_block_picker():
+    """The footprint model must (a) keep the gym flagship single-block,
+    (b) pick a reduced TB for CS-scale shapes instead of rejecting them,
+    (c) reject only shapes that cannot fit even at TB=2."""
+    # gym flagship hot block: 64x64, 32ch -> whole clip in one program
+    assert fc._pick_tb(8, 64, 64, 32, 32) == 8
+    # CS decoder block: 32x32, 256ch, T=16 overflows whole-clip VMEM but
+    # fits when frame-blocked
+    tb = fc._pick_tb(16, 32, 32, 256, 256)
+    assert 2 <= tb < 16
+    budget = 96 << 20
+    assert fc._bwd_vmem_bytes(tb, 32, 32, 256, 256) <= budget
+    assert fc._bwd_vmem_bytes(16, 32, 32, 256, 256) > budget
+    # fused_supported admits the CS shape (channel-aware) in train mode
+    ok, _ = fc.fused_supported("train", 32, 32, 32, cin=256, cout=256)
+    # gate passes the footprint check on CPU only via env; just assert the
+    # footprint path didn't reject (on CPU the backend check returns False)
+    assert ok in (True, False)
+    prev = os.environ.get("AD_TPU_FUSED_CONV")
+    os.environ["AD_TPU_FUSED_CONV"] = "interpret"
+    try:
+        ok, interp = fc.fused_supported("train", 32, 32, 32,
+                                        cin=256, cout=256)
+        assert ok and interp
+        # an absurd shape that cannot fit even at TB=2 is rejected
+        ok, _ = fc.fused_supported("train", 256, 256, 32,
+                                   cin=4096, cout=4096)
+        assert not ok
+    finally:
+        if prev is None:
+            os.environ.pop("AD_TPU_FUSED_CONV", None)
+        else:
+            os.environ["AD_TPU_FUSED_CONV"] = prev
