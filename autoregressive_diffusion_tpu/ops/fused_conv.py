@@ -26,14 +26,16 @@ accumulating in fp32. Tap shifts are circular lane rolls; every lane that
 wraps corresponds to a W-edge position that the dx-mask zeroes anyway, so
 the roll needs no padding buffer.
 
-Grid design: ONE program per batch element, with a jax.lax.fori_loop over
-the T frame pairs and ring-indexed scratch buffers. Keeping the whole time
-axis in-program makes the causal context local: transformed clean frames
-are stacked once into a ring scratch and reused by the frames t+1 / t+2
-that convolve over them, the ones-frame substitution at t < 2 becomes a
-ring slot preloaded with the ones frame, and in the backward kernel every
-context gradient lands in this program's own dX block (no cross-program
-reassembly).
+Grid design: (B, ceil(T/TB)) programs, each covering a TB-frame block with
+a jax.lax.fori_loop over its frames and ring-indexed scratch buffers. TB is
+picked per shape so the backward program fits VMEM (_pick_tb; TB=T for the
+gym-scale shapes, TB<T for CS-scale). Inside a block the causal context is
+local: transformed clean frames live in a 2-slot ring reused by the frames
+t+1 / t+2 that convolve over them. Across block boundaries the ring is
+preloaded from single-frame clamped-index halo views (frames t0-2, t0-1;
+the ones frame before the clip start), and in the backward kernel the
+context gradients that cross a boundary are recomputed by the receiving
+program from forward-looking halo views of (gout, residuals, gates).
 
 The backward pass is a second Pallas kernel (custom_vjp) that recomputes
 the tap stacks and produces dX, dW (grid-resident accumulation over the
