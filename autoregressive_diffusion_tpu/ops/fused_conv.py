@@ -651,7 +651,6 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
         out_specs, out_shape = [osp, osp, csp], [osh, osh, csh]
     else:
         out_specs, out_shape = [osp], [osh]
-    cvf = cv
     gf = gates.astype(F32)[:, :, None]
     res = pl.pallas_call(
         kernel,
@@ -666,7 +665,7 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
             tb * 2 * cop * hw * 2 * (3 if with_ctx else 1),
             9 * cp * hw * 2, 2 * cp * l * 4),
         interpret=interpret,
-    )(xp, xp, xp, w2p, w3p, cvf, cvf, cvf, gf)
+    )(xp, xp, xp, w2p, w3p, cv, cv, cv, gf)
     if with_ctx:
         return res[0], res[1], res[2]
     return res[0], None, None
