@@ -308,3 +308,83 @@ def test_sampler_parity(precond_setup):
                                rtol=5e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(mses_pred), z["mse_pred_target"],
                                rtol=5e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# VAE stack (reference edm2/vae/vae.py; fixtures from
+# generate_vae_fixtures.py -- weights randomized at record time, parity
+# needs only that both sides run the same weights)
+# --------------------------------------------------------------------------
+
+def _conv3d_t2j(w):
+    """torch Conv3d weight (out, in, kt, kh, kw) -> flax DHWIO."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def tl5(x):  # torch (b, c, t, h, w) -> ours (b, t, h, w, c)
+    return np.transpose(x, (0, 2, 3, 4, 1))
+
+
+def test_vae_group_conv_parity():
+    from autoregressive_diffusion_tpu.models.vae import GroupCausalConv3d
+    fx = load("vae_conv.npz")
+    mod = GroupCausalConv3d(6, (4, 3, 3), group_size=2)
+    variables = {"params": {"kernel": jnp.asarray(_conv3d_t2j(fx["w"])),
+                            "bias": jnp.asarray(fx["b"])}}
+    y, _ = mod.apply(variables, jnp.asarray(tl5(fx["x"])))
+    assert sdiff(y, tl5(fx["y"])) <= TOL
+
+
+def test_vae_resblock_parity():
+    from autoregressive_diffusion_tpu.models.vae import VAEResBlock
+    fx = load("vae_resblock.npz")
+    mod = VAEResBlock(6, kernel=(4, 3, 3), group_size=2, t_cond=True)
+    variables = {
+        "params": {
+            "conv3d0": {"kernel": jnp.asarray(_conv3d_t2j(fx["conv0_w"])),
+                        "bias": jnp.asarray(fx["conv0_b"])},
+            "conv3d1": {"kernel": jnp.asarray(_conv3d_t2j(fx["conv1_w"])),
+                        "bias": jnp.asarray(fx["conv1_b"])},
+            "t_cond": {"kernel": jnp.asarray(fx["tc_w"].T),
+                       "bias": jnp.asarray(fx["tc_b"])},
+        },
+        "buffers": {"freqs": jnp.asarray(fx["freqs"]),
+                    "phases": jnp.asarray(fx["phases"])},
+    }
+    y, _ = mod.apply(variables, jnp.asarray(tl5(fx["x"])),
+                     jnp.asarray(fx["t"]))
+    assert sdiff(y, tl5(fx["y"])) <= TOL
+
+
+def test_vae_encoder_parity():
+    """Full 2-block encoder: updown pixel-shuffle, compression conv with
+    channel-area-interpolated residual, nested group-causal res blocks."""
+    from autoregressive_diffusion_tpu.models.vae import EncoderDecoder
+    fx = load("vae_encoder.npz")
+
+    def blk(i):
+        p = f"encoder_blocks/{i}"
+        return {
+            "compression_block": {
+                "kernel": jnp.asarray(_conv3d_t2j(
+                    fx[f"{p}/compression_block/weight"])),
+                "bias": jnp.asarray(fx[f"{p}/compression_block/bias"])},
+            "res_block_0": {
+                "conv3d0": {"kernel": jnp.asarray(_conv3d_t2j(
+                    fx[f"{p}/res_blocks/0/conv3d0/conv3d/weight"])),
+                    "bias": jnp.asarray(
+                        fx[f"{p}/res_blocks/0/conv3d0/conv3d/bias"])},
+                "conv3d1": {"kernel": jnp.asarray(_conv3d_t2j(
+                    fx[f"{p}/res_blocks/0/conv3d1/weight"])),
+                    "bias": jnp.asarray(
+                        fx[f"{p}/res_blocks/0/conv3d1/bias"])},
+            },
+        }
+
+    mod = EncoderDecoder(channels=(3, 4, 6), n_res_blocks=1,
+                         time_compressions=(1, 2),
+                         spatial_compressions=(2, 2), coder_type="encoder")
+    variables = {"params": {"encoder_block_0": blk(0),
+                            "encoder_block_1": blk(1)}}
+    y, _ = mod.apply(variables, jnp.asarray(tl5(fx["x"])))
+    assert sdiff(y, tl5(fx["y"])) <= TOL
