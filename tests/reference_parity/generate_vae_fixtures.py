@@ -73,3 +73,17 @@ sd = {k: v for k, v in enc.state_dict().items()
       if "group_size_tensor" not in k}
 npz("vae_encoder.npz", x=x3, y=y3, **{k.replace(".", "/"): v
                                       for k, v in sd.items()})
+
+# 4. Full decoder (type='decoder'): decompression conv, up pixel-shuffle,
+#    t-conditioned res blocks, final conv with channel residual, logvar
+#    multiplier split
+dec = rand_(rvae.EncoderDecoder([3, 4, 6], 1, [1, 2], [2, 2], "decoder"))
+dec.eval()
+x4 = torch.randn(1, 6, 2, 4, 4)
+t4 = torch.rand(1)
+with torch.no_grad():
+    mean4, logvar4, _ = dec(x4, t4)
+sd = {k: v for k, v in dec.state_dict().items()
+      if "group_size_tensor" not in k}
+npz("vae_decoder.npz", x=x4, t=t4, mean=mean4, logvar=logvar4,
+    **{k.replace(".", "/"): v for k, v in sd.items()})

@@ -388,3 +388,59 @@ def test_vae_encoder_parity():
                             "encoder_block_1": blk(1)}}
     y, _ = mod.apply(variables, jnp.asarray(tl5(fx["x"])))
     assert sdiff(y, tl5(fx["y"])) <= TOL
+
+
+def test_vae_decoder_parity():
+    """Full 2-block decoder: decompression conv, up pixel-shuffle,
+    t-conditioned res blocks (MPFourier + modulation), final conv with
+    channel-area residual, logvar-multiplier split."""
+    from autoregressive_diffusion_tpu.models.vae import EncoderDecoder
+    fx = load("vae_decoder.npz")
+
+    def blk(i):
+        p = f"encoder_blocks/{i}"
+        params = {
+            "decompression_block": {
+                "kernel": jnp.asarray(_conv3d_t2j(
+                    fx[f"{p}/decompression_block/weight"])),
+                "bias": jnp.asarray(fx[f"{p}/decompression_block/bias"])},
+            "final_conv": {
+                "kernel": jnp.asarray(_conv3d_t2j(
+                    fx[f"{p}/final_conv/weight"])),
+                "bias": jnp.asarray(fx[f"{p}/final_conv/bias"])},
+            "res_block_0": {
+                "conv3d0": {"kernel": jnp.asarray(_conv3d_t2j(
+                    fx[f"{p}/res_blocks/0/conv3d0/conv3d/weight"])),
+                    "bias": jnp.asarray(
+                        fx[f"{p}/res_blocks/0/conv3d0/conv3d/bias"])},
+                "conv3d1": {"kernel": jnp.asarray(_conv3d_t2j(
+                    fx[f"{p}/res_blocks/0/conv3d1/weight"])),
+                    "bias": jnp.asarray(
+                        fx[f"{p}/res_blocks/0/conv3d1/bias"])},
+                "t_cond": {"kernel": jnp.asarray(
+                    fx[f"{p}/res_blocks/0/t_cond/weight"].T),
+                    "bias": jnp.asarray(
+                        fx[f"{p}/res_blocks/0/t_cond/bias"])},
+            },
+        }
+        buffers = {"res_block_0": {
+            "freqs": jnp.asarray(fx[f"{p}/res_blocks/0/fourier_cond/freqs"]),
+            "phases": jnp.asarray(
+                fx[f"{p}/res_blocks/0/fourier_cond/phases"])}}
+        return params, buffers
+
+    p0, b0 = blk(0)
+    p1, b1 = blk(1)
+    mod = EncoderDecoder(channels=(3, 4, 6), n_res_blocks=1,
+                         time_compressions=(1, 2),
+                         spatial_compressions=(2, 2), coder_type="decoder")
+    variables = {
+        "params": {"encoder_block_0": p0, "encoder_block_1": p1,
+                   "logvar_multiplier": jnp.asarray(
+                       fx["logvar_multiplier"]).reshape(())},
+        "buffers": {"encoder_block_0": b0, "encoder_block_1": b1},
+    }
+    mean, logvar, _ = mod.apply(variables, jnp.asarray(tl5(fx["x"])),
+                                jnp.asarray(fx["t"]))
+    assert sdiff(mean, tl5(fx["mean"])) <= TOL
+    assert sdiff(logvar, tl5(fx["logvar"])) <= TOL
