@@ -108,11 +108,14 @@ class DiscriminatorBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
-        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm1")(x)
+        # torch GroupNorm eps default is 1e-5 (flax: 1e-6)
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5,
+                         name="norm1")(x)
         h = lrelu(h)
         h = nn.Conv(self.out_channels, (3, 3, 3), kernel_init=_torch_conv_init,
                     name="conv1")(h)
-        h = nn.GroupNorm(num_groups=min(32, self.out_channels), name="norm2")(h)
+        h = nn.GroupNorm(num_groups=min(32, self.out_channels), epsilon=1e-5,
+                         name="norm2")(h)
         h = lrelu(h)
         if self.add_downsample:
             h = blur_pool_3d(h)
@@ -134,7 +137,11 @@ class Discriminator3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit (1,1) padding: torch pads symmetrically and floor-crops;
+        # XLA SAME would pad stride-2 even sizes asymmetrically (off-by-one
+        # window alignment vs the reference)
         x = nn.Conv(self.block_out_channels[0], (3, 3, 3), strides=(2, 2, 2),
+                    padding=((1, 1), (1, 1), (1, 1)),
                     kernel_init=_torch_conv_init, name="conv_in")(x)
         for i, ch in enumerate(self.block_out_channels):
             is_final = i == len(self.block_out_channels) - 1

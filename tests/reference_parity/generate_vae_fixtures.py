@@ -87,3 +87,25 @@ sd = {k: v for k, v in dec.state_dict().items()
       if "group_size_tensor" not in k}
 npz("vae_decoder.npz", x=x4, t=t4, mean=mean4, logvar=logvar4,
     **{k.replace(".", "/"): v for k, v in sd.items()})
+
+# 5. MixedDiscriminator (discriminator.py:286-302): 2D (BatchNorm/BlurPool)
+#    + 3D (GroupNorm/BlurPool3D) stacks, per-frame and temporal logits
+#    concatenated along time. Eval mode (BatchNorm running stats, also
+#    randomized -- var kept positive).
+from edm2.vae import discriminator as rdisc  # noqa: E402
+
+md = rand_(rdisc.MixedDiscriminator())
+with torch.no_grad():
+    for name, buf in md.named_buffers():
+        if name.endswith("running_mean"):
+            buf.copy_(0.1 * torch.randn_like(buf))
+        elif name.endswith("running_var"):
+            buf.copy_(0.5 + torch.rand_like(buf))
+md.eval()
+x5 = torch.randn(2, 6, 4, 16, 16)
+with torch.no_grad():
+    y5 = md(x5)
+sd = {k: v for k, v in md.state_dict().items()
+      if not (k.endswith("filt") or k.endswith("num_batches_tracked"))}
+npz("vae_discriminator.npz", x=x5, y=y5,
+    **{k.replace(".", "/"): v for k, v in sd.items()})

@@ -444,3 +444,62 @@ def test_vae_decoder_parity():
                                 jnp.asarray(fx["t"]))
     assert sdiff(mean, tl5(fx["mean"])) <= TOL
     assert sdiff(logvar, tl5(fx["logvar"])) <= TOL
+
+
+def test_vae_discriminator_parity():
+    """MixedDiscriminator (discriminator.py:286-302) in eval mode:
+    BatchNorm running stats, BlurPool2D/3D, GroupNorm 3D stack, per-frame +
+    temporal logits concatenated along time."""
+    from autoregressive_diffusion_tpu.models.discriminator import \
+        MixedDiscriminator
+    fx = load("vae_discriminator.npz")
+
+    def conv2(p):  # torch Conv2d (out,in,kh,kw) -> flax HWIO
+        return {"kernel": jnp.asarray(np.transpose(fx[f"{p}/weight"],
+                                                   (2, 3, 1, 0))),
+                "bias": jnp.asarray(fx[f"{p}/bias"])}
+
+    def conv3(p):
+        return {"kernel": jnp.asarray(_conv3d_t2j(fx[f"{p}/weight"])),
+                "bias": jnp.asarray(fx[f"{p}/bias"])}
+
+    def gn(p):
+        return {"scale": jnp.asarray(fx[f"{p}/weight"]),
+                "bias": jnp.asarray(fx[f"{p}/bias"])}
+
+    def bn(p):
+        return ({"scale": jnp.asarray(fx[f"{p}/weight"]),
+                 "bias": jnp.asarray(fx[f"{p}/bias"])},
+                {"mean": jnp.asarray(fx[f"{p}/running_mean"]),
+                 "var": jnp.asarray(fx[f"{p}/running_var"])})
+
+    d2_params, d2_stats = {"conv_in": conv2("discriminator2d/conv_in"),
+                           "conv_out": conv2("discriminator2d/conv_out")}, {}
+    for i in range(3):
+        p = f"discriminator2d/blocks/{i}"
+        n1p, n1s = bn(f"{p}/norm1")
+        n2p, n2s = bn(f"{p}/norm2")
+        blk = {"norm1": n1p, "norm2": n2p,
+               "conv1": conv2(f"{p}/conv1"), "conv2": conv2(f"{p}/conv2")}
+        if i < 2:  # downsample blocks have the blurpool+1x1 shortcut
+            blk["shortcut_conv"] = conv2(f"{p}/shortcut/1")
+        d2_params[f"block_{i}"] = blk
+        d2_stats[f"block_{i}"] = {"norm1": n1s, "norm2": n2s}
+
+    d3_params = {"conv_in": conv3("discriminator3d/conv_in"),
+                 "conv_out": conv3("discriminator3d/conv_out")}
+    for i in range(2):
+        p = f"discriminator3d/blocks/{i}"
+        sc = f"{p}/shortcut/1" if i == 0 else f"{p}/shortcut/0"
+        d3_params[f"block_{i}"] = {
+            "norm1": gn(f"{p}/norm1"), "norm2": gn(f"{p}/norm2"),
+            "conv1": conv3(f"{p}/conv1"), "conv2": conv3(f"{p}/conv2"),
+            "shortcut_conv": conv3(sc)}
+
+    variables = {"params": {"discriminator2d": d2_params,
+                            "discriminator3d": d3_params},
+                 "batch_stats": {"discriminator2d": d2_stats}}
+    model = MixedDiscriminator()
+    y = model.apply(variables, jnp.asarray(tl5(fx["x"])), False)
+    # ours: (b, t', h', w', 2); torch: (b, 2, t', h', w')
+    assert sdiff(y, np.transpose(fx["y"], (0, 2, 3, 4, 1))) <= TOL
