@@ -67,8 +67,19 @@ def main():
     # block_until_ready returns before device completion, so all timing
     # below forces a device->host scalar fetch and uses the marginal cost
     # between two run lengths (subtracting fixed dispatch+fetch overhead).
-    state, metrics = step(state, images, cond, jax.random.PRNGKey(0))
-    float(metrics["loss"])
+    # Insurance: if the fused Pallas conv path fails to compile on this
+    # runtime, fall back to the XLA conv path instead of losing the
+    # benchmark entirely.
+    try:
+        state, metrics = step(state, images, cond, jax.random.PRNGKey(0))
+        float(metrics["loss"])
+    except Exception as e:  # pragma: no cover - hardware-specific
+        print(f"# fused path failed ({type(e).__name__}); "
+              "retrying with AD_TPU_FUSED_CONV=0", file=sys.stderr)
+        os.environ["AD_TPU_FUSED_CONV"] = "0"
+        jax.clear_caches()
+        state, metrics = step(state, images, cond, jax.random.PRNGKey(0))
+        float(metrics["loss"])
 
     def run(n_dispatch):
         s = state
