@@ -200,3 +200,124 @@ class ReplayLoader:
         self._stop.set()
         with self._lock:
             self._has_data.notify_all()
+
+
+class DeviceReplay:
+    """Replay buffer resident in device HBM.
+
+    Same producer discipline as ReplayLoader (env thread -> bounded raw
+    queue -> consumer-thread transform), but items are stored in
+    device-resident ring buffers and training batches are gathered ON
+    DEVICE by slot index (train/train_state.py::make_replay_train_step), so
+    after the buffer warms up no batch bytes cross the host<->device link.
+    Inserts rebuild the ring with `dynamic_update_slice` (one jitted call
+    per field; NOT donated -- an in-flight train dispatch may still hold
+    the previous buffer, and a full-buffer HBM copy is microseconds).
+
+    generator -- yields raw item tuples (e.g. (frames, actions, reward)).
+    transform -- fn(raw item) -> tuple of device/np arrays to store (e.g.
+                 VAE-encode frames to latents). Runs on the CONSUMER thread
+                 via ingest(): exactly one thread touches the device.
+    """
+
+    def __init__(self, generator, transform: Callable, batch_size: int,
+                 capacity: int = 512, min_fill: Optional[int] = None,
+                 seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+        if capacity < batch_size:
+            raise ValueError(f"capacity {capacity} < batch_size {batch_size}")
+        self.batch_size = batch_size
+        self.capacity = capacity
+        self.min_fill = max(batch_size, min_fill if min_fill is not None
+                            else min(capacity, 2 * batch_size))
+        self.transform = transform
+        self._rng = np.random.default_rng(seed)
+        self._bufs: Optional[list] = None
+        self._count = 0
+        self._drawn = 0
+        self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._producer_done = False
+        self._pending: queue.Queue = queue.Queue(maxsize=8)
+        self._insert = jax.jit(
+            lambda buf, val, slot: jax.lax.dynamic_update_slice(
+                buf, val[None].astype(buf.dtype),
+                (slot,) + (0,) * (buf.ndim - 1)))
+        self._jnp = jnp
+        self._generator = generator
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            for item in self._generator:
+                if self._stop.is_set():
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._pending.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:
+            self._error = e
+        finally:
+            self._producer_done = True
+
+    def ingest(self, max_items: Optional[int] = None) -> int:
+        """Drain queued raw items, transform + insert on THIS thread.
+        Returns the number of items stored. Raises if the producer died."""
+        if self._error is not None:
+            raise RuntimeError("replay producer failed") from self._error
+        done = 0
+        while max_items is None or done < max_items:
+            try:
+                item = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            fields = self.transform(item)
+            if self._bufs is None:
+                self._bufs = [
+                    self._jnp.zeros((self.capacity,) + tuple(f.shape),
+                                    self._jnp.asarray(f).dtype)
+                    for f in fields]
+            slot = self._count % self.capacity
+            self._bufs = [self._insert(b, self._jnp.asarray(f), slot)
+                          for b, f in zip(self._bufs, fields)]
+            self._count += 1
+            done += 1
+        return done
+
+    def ready(self) -> bool:
+        return self._count >= self.min_fill or (
+            self._producer_done and self._pending.empty()
+            and self._count >= self.batch_size)
+
+    def exhausted(self) -> bool:
+        """Generator ended before ever producing one batch worth of items."""
+        return (self._producer_done and self._pending.empty()
+                and self._count < self.batch_size)
+
+    def buffers(self) -> tuple:
+        """Current device ring buffers (one per stored field)."""
+        return tuple(self._bufs)
+
+    def sample_idx(self, g: int) -> np.ndarray:
+        """(g, batch_size) int32 slot indices, without replacement per row."""
+        n = min(self._count, self.capacity)
+        idx = np.stack([self._rng.choice(n, size=self.batch_size,
+                                         replace=False) for _ in range(g)])
+        self._drawn += g * self.batch_size
+        return idx.astype(np.int32)
+
+    def stats(self) -> dict:
+        return {
+            "produced": self._count,
+            "drawn": self._drawn,
+            "reuse_factor": self._drawn / max(self._count, 1),
+            "buffered": min(self._count, self.capacity),
+        }
+
+    def stop(self):
+        self._stop.set()

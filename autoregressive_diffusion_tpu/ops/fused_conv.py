@@ -263,9 +263,10 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
                 tb: int, t_total: int, w: int, hw: int, silu_in: bool,
                 has_cv: bool, with_ctx: bool, mm_dtype):
     if with_ctx:
-        y2d_res, ctx_res, a_scr, tr_ring = rest
+        y2d_res, ctx_res, a_scr, st_ring = rest
     else:
-        a_scr, tr_ring = rest
+        (a_scr,) = rest
+        st_ring = None
     t0 = pl.program_id(1) * tb
     c = xq.shape[-2]
     l = xq.shape[-1]
@@ -292,28 +293,35 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
         return _dot_kc(w2, a_scr[...])
 
     if with_ctx:
+        # STACKED-tap ring: slot t % 2 holds the 9 shifted-tap rows of
+        # transformed clean frame t. Each clean frame is tap-stacked ONCE
+        # (for its own 2D conv) and the stack is reused by the context
+        # convs of frames t+1 / t+2 -- vs rebuilding the 9-roll stack from
+        # a raw ring at every reader (2 stacks/frame instead of 4).
+        # Preload frames t0-2 (same parity as t0) and t0-1; ones before
+        # the clip start (reference conv.py:68).
         ones = _ones_interior(c, l, w)
-        # ring slot for frame t is t % 2 -- preload t0-2 (same parity as
-        # t0) and t0-1; ones before the clip start (reference conv.py:68)
-        tr_ring[t0 % 2] = jnp.where(t0 >= 2, transform_halo(xh0, cvh0),
-                                    ones)
-        tr_ring[(t0 + 1) % 2] = jnp.where(t0 >= 1,
-                                          transform_halo(xh1, cvh1), ones)
+        _stack_into(a_scr, 0,
+                    jnp.where(t0 >= 2, transform_halo(xh0, cvh0), ones),
+                    w, hw, masks)
+        st_ring[t0 % 2] = a_scr[...]
+        _stack_into(a_scr, 0,
+                    jnp.where(t0 >= 1, transform_halo(xh1, cvh1), ones),
+                    w, hw, masks)
+        st_ring[(t0 + 1) % 2] = a_scr[...]
 
     def body(j, _):
         t = t0 + j
-        tr_c = transform(j, 0)
-        y2d_c = conv2d(tr_c)
+        if with_ctx:
+            # context from the stacked ring (frames t-2, t-1) BEFORE frame
+            # t's own stack overwrites the t-2 slot below
+            ctx = (_dot_kc(w3a, st_ring[t % 2])
+                   + _dot_kc(w3b, st_ring[(t + 1) % 2]))
+        y2d_c = conv2d(transform(j, 0))
+        if with_ctx:
+            st_ring[t % 2] = a_scr[...]  # frame t's stack, still in a_scr
         y2d_n = conv2d(transform(j, 1))
         if with_ctx:
-            # transformed clean frames t-2, t-1 from the 2-slot ring
-            # (preloaded or written at their own iteration)
-            tr2 = tr_ring[t % 2]
-            tr1 = tr_ring[(t + 1) % 2]
-            _stack_into(a_scr, 0, tr2, w, hw, masks)
-            ctx = _dot_kc(w3a, a_scr[...])
-            _stack_into(a_scr, 0, tr1, w, hw, masks)
-            ctx = ctx + _dot_kc(w3b, a_scr[...])
             g_c = gates[0, j, 0, 0]
             g_n = gates[0, j, 0, 1]
             out[0, j, 0] = _blend(y2d_c, ctx, g_c).astype(out.dtype)
@@ -322,7 +330,6 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
             y2d_res[0, j, 0] = y2d_c.astype(y2d_res.dtype)
             y2d_res[0, j, 1] = y2d_n.astype(y2d_res.dtype)
             ctx_res[0, j, 0] = ctx.astype(ctx_res.dtype)
-            tr_ring[t % 2] = tr_c
         else:
             out[0, j, 0] = y2d_c.astype(out.dtype)
             out[0, j, 1] = y2d_n.astype(out.dtype)
@@ -658,12 +665,17 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
         in_specs=[xq, xh0, xh1, w2s, w3s, cvq, cvh0, cvh1, gsp],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((9 * cp, hw), mm_dtype),
-                        pltpu.VMEM((2, cp, l), F32)],
+        # a_scr + (ctx only) the 2-slot stacked-tap ring. With the bf16
+        # body (the training configuration) forward scratch (27*cp*hw*2)
+        # stays below the backward's (15*cp*l*4), so _pick_tb's backward
+        # footprint remains the binding VMEM model.
+        scratch_shapes=[pltpu.VMEM((9 * cp, hw), mm_dtype)] + (
+            [pltpu.VMEM((2, 9 * cp, hw), mm_dtype)] if with_ctx else []),
         compiler_params=_vmem_params(
             tb * 2 * cp * l * 2 * 2, 2 * 2 * cp * l * 2,
             tb * 2 * cop * hw * 2 * (3 if with_ctx else 1),
-            9 * cp * hw * 2, 2 * cp * l * 4),
+            9 * cp * hw * 2,
+            (2 * 9 * cp * hw * 2) if with_ctx else 0),
         interpret=interpret,
     )(xp, xp, xp, w2p, w3p, cv, cv, cv, gf)
     if with_ctx:

@@ -6,5 +6,5 @@ from .ema import (ema_update, init_ema, power_function_beta, std_to_exp,
                   traditional_ema_beta)
 from .optim import forced_weight_norm, make_optimizer
 from .train_state import (TrainState, create_train_state, make_train_step,
-                          make_scanned_train_step)
+                          make_replay_train_step, make_scanned_train_step)
 from .quantize import quantize_variables, quantized_config

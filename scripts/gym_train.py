@@ -41,9 +41,17 @@ def main():
                          "batches like the reference; >0 = sample from a "
                          "continuously refreshed buffer of pre-encoded "
                          "latents -- see data/replay.py for why)")
+    ap.add_argument("--replay-device", action="store_true",
+                    help="with --replay: keep the buffer resident in device "
+                         "HBM, gather batches on device, and dispatch "
+                         "groups of steps in one call (DeviceReplay + "
+                         "make_replay_train_step) -- removes the per-step "
+                         "host gather + batch upload that bottleneck the "
+                         "one-core host")
     args = ap.parse_args()
 
-    from autoregressive_diffusion_tpu.data import (GymDataGenerator,
+    from autoregressive_diffusion_tpu.data import (DeviceReplay,
+                                                   GymDataGenerator,
                                                    ReplayLoader,
                                                    SyntheticVideoGenerator,
                                                    batched)
@@ -131,7 +139,18 @@ def main():
     encode = jax.jit(lambda v, f: frames_to_latents(vae, v, f, lat_mean, lat_std))
     decode = jax.jit(lambda v, z: latents_to_frames(vae, v, z, lat_mean, lat_std))
 
-    if args.replay > 0:
+    if args.replay > 0 and args.replay_device:
+        # device-resident ring buffer: fresh clips upload once as uint8,
+        # training batches are gathered on device inside the dispatched
+        # step group (see data/replay.py::DeviceReplay)
+        def to_latent_dev(item):
+            frames, actions, _ = item
+            z = encode(vae_vars, jnp.asarray(frames)[None])
+            return z[0], np.asarray(actions, np.int32)
+        replay = DeviceReplay(gen, to_latent_dev, args.batch,
+                              capacity=args.replay, seed=5)
+        loader = None
+    elif args.replay > 0:
         # producer thread encodes each fresh clip to latents on-device
         # (jax serializes this against train steps), buffer holds latents
         def to_latent(item):
@@ -161,8 +180,99 @@ def main():
     def flush_pending():
         for unw, sig, lo in jax.device_get(pending):
             noise_state.add_data(sig, lo)
-            losses_history.append(float(unw))
+            # unweighted is a scalar (per-step dispatch) or a per-step
+            # vector (grouped replay dispatch)
+            losses_history.extend(np.atleast_1d(unw).tolist())
         pending.clear()
+
+    ckpt_every = max(args.steps // 40, 1)
+
+    def log_window(i):
+        sps = args.batch * (i + 1 - start) / (time.time() - t_start)
+        extra_msg = ""
+        if replay is not None:
+            rs = replay.stats()
+            extra_msg = (f" replay[{rs['buffered']} buf, "
+                         f"{rs['produced']} fresh, "
+                         f"x{rs['reuse_factor']:.1f} reuse]")
+        print(f"step {i}: loss={np.mean(losses_history[-accumulation:]):.4f} "
+              f"lr={float(sched(i)):.6f} {sps:.1f} samples/s{extra_msg}",
+              flush=True)
+
+    def do_dashboard(state, i, latents, k):
+        state = state.replace(coefs=jnp.asarray(noise_state.fit()))
+        mse_steps, _, roll_lat = eval_callback(
+            {"params": state.params, "buffers": state.buffers},
+            latents, k)
+        roll_frames = np.asarray(decode(vae_vars, roll_lat))[0]
+        plot_training_dashboard(
+            os.path.join(args.out_dir, f"dashboard_step_{i}.png"),
+            losses_history, i, noise_state, np.asarray(state.coefs),
+            mse_steps=mse_steps, rollout_frames=roll_frames,
+            unet_params=n_params)
+        return state
+
+    def do_checkpoint(state, i):
+        save_model(os.path.join(args.ckpt_dir, f"unet_{n_params//10**6}M.ad"),
+                   dict(unet_cfg.__dict__),
+                   {"params": jax.device_get(state.params),
+                    "buffers": jax.device_get(state.buffers)})
+        save_train_state(args.ckpt_dir, int(state.step), jax.device_get(state),
+                         {"losses": losses_history})
+        print(f"# checkpoint at step {i}")
+
+    if loader is None:
+        # ---- device-resident replay: dispatch groups of steps; the
+        # reference cadence just_2d = i%4==0 becomes one just_2d dispatch
+        # followed by one 3-step 3D dispatch per group of 4
+        replay_fn = jax.jit(
+            make_replay_train_step(model, loss_cfg, tx,
+                                   batch_size=args.batch,
+                                   microbatch=args.micro_batch),
+            static_argnames=("just_2d",), donate_argnums=(0,))
+        i = start
+        t_fill = time.time()
+        while i < args.steps:
+            replay.ingest()
+            if not replay.ready():
+                if replay.exhausted():
+                    print("# generator exhausted before one batch filled")
+                    break
+                if time.time() - t_fill > 30:
+                    t_fill = time.time()
+                    print(f"# filling replay buffer: "
+                          f"{replay.stats()['buffered']}/{replay.min_fill}",
+                          flush=True)
+                time.sleep(0.2)
+                continue
+            if i % 4 == 0:
+                g, j2 = 1, True
+            else:
+                g, j2 = 4 - i % 4, False
+            g = min(g, args.steps - i)
+            buf_z, buf_a = replay.buffers()
+            key, k = jax.random.split(key)
+            idx = jnp.asarray(replay.sample_idx(g))
+            state, metrics = replay_fn(state, buf_z, buf_a, idx, k,
+                                       just_2d=j2)
+            pending.append((metrics["unweighted"], metrics["sigma"],
+                            metrics["losses"]))
+            i_new = i + g
+            if i // 50 != i_new // 50:
+                flush_pending()
+                log_window(i_new - 1)
+            if i // args.dashboard_every != i_new // args.dashboard_every:
+                flush_pending()
+                lat = jnp.take(buf_z, jnp.asarray(replay.sample_idx(1)[0]),
+                               axis=0)
+                key, k = jax.random.split(key)
+                state = do_dashboard(state, i_new, lat, k)
+            if i // ckpt_every != i_new // ckpt_every:
+                flush_pending()
+                do_checkpoint(state, i_new)
+            i = i_new
+        replay.stop()
+        return
 
     for i, (latents, actions) in enumerate(loader, start=start):
         if i >= args.steps:
@@ -176,38 +286,14 @@ def main():
 
         if i % 50 == 0:
             flush_pending()
-            sps = args.batch * (i + 1 - start) / (time.time() - t_start)
-            extra_msg = ""
-            if replay is not None:
-                rs = replay.stats()
-                extra_msg = (f" replay[{rs['buffered']} buf, "
-                             f"{rs['produced']} fresh, "
-                             f"x{rs['reuse_factor']:.1f} reuse]")
-            print(f"step {i}: loss={np.mean(losses_history[-accumulation:]):.4f} "
-                  f"lr={float(sched(i)):.6f} {sps:.1f} samples/s{extra_msg}",
-                  flush=True)
+            log_window(i)
         if i % args.dashboard_every == 0 and i > start:
             flush_pending()
-            state = state.replace(coefs=jnp.asarray(noise_state.fit()))
             key, k = jax.random.split(key)
-            mse_steps, _, roll_lat = eval_callback(
-                {"params": state.params, "buffers": state.buffers},
-                latents, k)
-            roll_frames = np.asarray(decode(vae_vars, roll_lat))[0]
-            plot_training_dashboard(
-                os.path.join(args.out_dir, f"dashboard_step_{i}.png"),
-                losses_history, i, noise_state, np.asarray(state.coefs),
-                mse_steps=mse_steps, rollout_frames=roll_frames,
-                unet_params=n_params)
-        if i % max(args.steps // 40, 1) == 0 and i > start:
+            state = do_dashboard(state, i, latents, k)
+        if i % ckpt_every == 0 and i > start:
             flush_pending()
-            save_model(os.path.join(args.ckpt_dir, f"unet_{n_params//10**6}M.ad"),
-                       dict(unet_cfg.__dict__),
-                       {"params": jax.device_get(state.params),
-                        "buffers": jax.device_get(state.buffers)})
-            save_train_state(args.ckpt_dir, int(state.step), jax.device_get(state),
-                             {"losses": losses_history})
-            print(f"# checkpoint at step {i}")
+            do_checkpoint(state, i)
 
 
 if __name__ == "__main__":

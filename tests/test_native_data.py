@@ -179,3 +179,55 @@ def test_replay_loader_transform_runs_on_consumer_thread():
     next(iter(loader2))
     assert threading.get_ident() not in seen_threads
     loader2.stop()
+
+
+def test_device_replay_ring_and_sampling():
+    """DeviceReplay: transform runs on the consumer thread, items land in
+    device ring buffers, sample_idx draws valid slots, ring wraps, and a
+    too-short generator reports exhausted() instead of hanging."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from autoregressive_diffusion_tpu.data import (DeviceReplay,
+                                                   SyntheticVideoGenerator)
+
+    seen_threads = set()
+
+    def xform(item):
+        seen_threads.add(threading.get_ident())
+        frames, actions, _ = item
+        return jnp.asarray(frames, jnp.float32).mean(axis=(1, 2, 3)), actions
+
+    gen = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=10)
+    rep = DeviceReplay(gen, xform, batch_size=2, capacity=4, min_fill=2)
+    import time
+    t0 = time.time()
+    while not rep.ready() and time.time() - t0 < 30:
+        rep.ingest()
+        time.sleep(0.05)
+    assert rep.ready()
+    while rep.ingest():
+        pass
+    rep._thread.join(timeout=30)
+    rep.ingest()
+    assert seen_threads == {threading.get_ident()}
+
+    s = rep.stats()
+    assert s["produced"] == 10          # all clips consumed
+    assert s["buffered"] == 4           # ring wrapped at capacity
+    zbuf, abuf = rep.buffers()
+    assert zbuf.shape == (4, 8) and abuf.shape[0] == 4
+    idx = rep.sample_idx(3)
+    assert idx.shape == (3, 2) and idx.dtype == np.int32
+    assert idx.min() >= 0 and idx.max() < 4
+    assert len(set(idx[0].tolist())) == 2  # no replacement within a row
+    assert rep.stats()["drawn"] == 6
+    rep.stop()
+
+    short = SyntheticVideoGenerator(8, 16, 4, 4, training_examples=1)
+    rep2 = DeviceReplay(short, xform, batch_size=4, capacity=8)
+    rep2._thread.join(timeout=30)
+    rep2.ingest()
+    assert rep2.exhausted() and not rep2.ready()
+    rep2.stop()

@@ -206,3 +206,37 @@ def test_scanned_step_matches_sequential(setup):
                     jax.tree.leaves(s_seq.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_replay_step_matches_scanned(setup):
+    """make_replay_train_step (on-device gather from a buffer by index) ==
+    make_scanned_train_step on the pre-gathered batches."""
+    from autoregressive_diffusion_tpu.train import (make_replay_train_step,
+                                                    make_scanned_train_step)
+
+    model, variables = setup
+    tx = make_optimizer(learning_rate=1e-3)
+    lcfg = EDM2LossConfig()
+    g, cap = 2, 6
+    buf_z = jax.random.normal(jax.random.PRNGKey(3), (cap, T, 8, 8, 4))
+    buf_a = jnp.zeros((cap, T), jnp.int32)
+    idx = jnp.asarray([[4, 0], [2, 5]], jnp.int32)  # (g, B)
+    key = jax.random.PRNGKey(9)
+
+    rstep = make_replay_train_step(model, lcfg, tx, batch_size=B)
+    s_rep, m_rep = jax.jit(rstep, static_argnames=("just_2d",))(
+        create_train_state(model, variables, tx), buf_z, buf_a, idx, key)
+
+    scanned = make_scanned_train_step(model, lcfg, tx, batch_size=B)
+    s_scan, m_scan = jax.jit(scanned, static_argnames=("just_2d",))(
+        create_train_state(model, variables, tx), buf_z[idx], buf_a[idx], key)
+
+    assert int(s_rep.step) == g
+    assert m_rep["unweighted"].shape == (g,)  # per-step history entries
+    np.testing.assert_allclose(np.asarray(m_rep["loss_per_step"]),
+                               np.asarray(m_scan["loss_per_step"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_rep.params),
+                    jax.tree.leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
