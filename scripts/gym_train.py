@@ -60,7 +60,8 @@ def main():
                                                          frames_to_latents)
     from autoregressive_diffusion_tpu.train import (
         EDM2LossConfig, MultiNoiseState, create_train_state,
-        learning_rate_schedule, make_optimizer, make_train_step)
+        learning_rate_schedule, make_optimizer, make_replay_train_step,
+        make_train_step)
     from autoregressive_diffusion_tpu.utils import (latest_step, load_model,
                                                     restore_train_state,
                                                     save_model,
