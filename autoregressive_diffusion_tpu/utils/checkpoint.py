@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import tempfile
 from typing import Any, Dict, Optional
 
@@ -124,10 +125,16 @@ def _ckpt_dir(path: str) -> str:
     return os.path.abspath(path)
 
 
-def save_train_state(ckpt_dir: str, step: int, state, extra: Optional[dict] = None):
+def save_train_state(ckpt_dir: str, step: int, state, extra: Optional[dict] = None,
+                     keep: Optional[int] = None):
     """Orbax checkpoint of the TrainState; `extra` (loss history etc.) is a
     schema-free pytree, msgpack-serialized so its structure can change
-    between save and resume (e.g. a growing loss list)."""
+    between save and resume (e.g. a growing loss list).
+
+    `keep` -- if given, prune all but the newest `keep` step_* directories
+    after a successful save (a full TrainState of the 46M gym model is
+    ~800 MB; the reference keeps one rolling file, torch.save over the same
+    name, gym_train.py:132-141 -- rotation is the crash-safe equivalent)."""
     import orbax.checkpoint as ocp
     path = os.path.join(_ckpt_dir(ckpt_dir), f"step_{step:09d}")
     blob = serialization.msgpack_serialize(
@@ -136,6 +143,13 @@ def save_train_state(ckpt_dir: str, step: int, state, extra: Optional[dict] = No
         ckptr.save(path, dict(state=jax.tree.map(np.asarray, state),
                               extra_blob=np.frombuffer(blob, np.uint8).copy()),
                    force=True)
+    if keep is not None and keep > 0:
+        d = _ckpt_dir(ckpt_dir)
+        steps = sorted(int(m.group(1)) for n in os.listdir(d)
+                       if (m := re.fullmatch(r"step_(\d+)", n)))
+        for s in steps[:-keep]:
+            shutil.rmtree(os.path.join(d, f"step_{s:09d}"),
+                          ignore_errors=True)
 
 
 def restore_train_state(ckpt_dir: str, step: int, state_template,

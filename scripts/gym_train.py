@@ -36,6 +36,9 @@ def main():
                     help="synthetic moving-square data instead of gym")
     ap.add_argument("--ref-lr", type=float, default=1e-2)
     ap.add_argument("--dashboard-every", type=int, default=500)
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="checkpoint interval in optimizer steps "
+                         "(0 = steps/40, the reference cadence)")
     ap.add_argument("--replay", type=int, default=0, metavar="CAPACITY",
                     help="replay-buffer capacity in clips (0 = stream fresh "
                          "batches like the reference; >0 = sample from a "
@@ -186,7 +189,7 @@ def main():
             losses_history.extend(np.atleast_1d(unw).tolist())
         pending.clear()
 
-    ckpt_every = max(args.steps // 40, 1)
+    ckpt_every = args.ckpt_every or max(args.steps // 40, 1)
 
     def log_window(i):
         sps = args.batch * (i + 1 - start) / (time.time() - t_start)
@@ -219,8 +222,8 @@ def main():
                    {"params": jax.device_get(state.params),
                     "buffers": jax.device_get(state.buffers)})
         save_train_state(args.ckpt_dir, int(state.step), jax.device_get(state),
-                         {"losses": losses_history})
-        print(f"# checkpoint at step {i}")
+                         {"losses": losses_history}, keep=3)
+        print(f"# checkpoint at step {i}", flush=True)
 
     if loader is None:
         # ---- device-resident replay: dispatch groups of steps; the

@@ -154,3 +154,27 @@ class TestTrainStateCheckpoint:
         # restored leaves are host numpy (tunneled-TPU deadlock guard)
         assert all(isinstance(l, np.ndarray) or np.isscalar(l)
                    for l in jax.tree.leaves(restored.params))
+
+    def test_save_rotation_keeps_newest(self, tiny, tmp_path):
+        """keep=N prunes all but the newest N step dirs (a full TrainState is
+        ~800 MB at gym scale; unbounded step dirs would eat the disk on a
+        long run) and the survivors stay restorable."""
+        from autoregressive_diffusion_tpu.train import (create_train_state,
+                                                        make_optimizer)
+        from autoregressive_diffusion_tpu.utils import (latest_step,
+                                                        restore_train_state,
+                                                        save_train_state)
+
+        cfg, model, variables = tiny
+        tx = make_optimizer(learning_rate=1e-3)
+        state = create_train_state(model, variables, tx)
+        host = jax.device_get(state)
+        for s in (1, 5, 9, 12):
+            save_train_state(str(tmp_path), s, host, {"losses": [float(s)]},
+                             keep=2)
+        names = sorted(p.name for p in tmp_path.iterdir()
+                       if p.name.startswith("step_"))
+        assert names == ["step_000000009", "step_000000012"]
+        assert latest_step(str(tmp_path)) == 12
+        _, extra = restore_train_state(str(tmp_path), 12, state)
+        assert list(extra["losses"]) == [12.0]
