@@ -27,6 +27,7 @@ jax.process_index(). Launch with no wrapper: `python scripts/cs_train.py`.
 """
 import argparse
 import os
+import signal
 import sys
 import time
 
@@ -158,6 +159,13 @@ def main():
     key = jax.random.PRNGKey(7)
     losses = []
     t0 = time.time()
+    # graceful preemption (see gym_train.py): checkpoint + clean exit on
+    # SIGTERM instead of losing up to 2000 steps and wedging the chip claim
+    stop_requested = []
+    signal.signal(signal.SIGTERM,
+                  lambda s, f: (stop_requested.append(True),
+                                print("# SIGTERM: will checkpoint and exit",
+                                      flush=True)))
     for i, batch in enumerate(loader, start=start):
         if i >= args.steps:
             break
@@ -187,8 +195,16 @@ def main():
             state = state.replace(coefs=jax.device_put(coefs, replicated(mesh)))
         if i % 2000 == 0 and i > start and is_p0:
             save_train_state(args.ckpt_dir, int(state.step),
-                             jax.device_get(state), {"losses": losses})
+                             jax.device_get(state), {"losses": losses},
+                             keep=3)
             print("# checkpoint saved")
+        if stop_requested:
+            if is_p0:
+                save_train_state(args.ckpt_dir, int(state.step),
+                                 jax.device_get(state), {"losses": losses},
+                                 keep=3)
+                print("# checkpoint saved on SIGTERM")
+            break
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ LR schedule with rampup total/50, dashboard + resumable checkpoints.
 """
 import argparse
 import os
+import signal
 import sys
 import time
 
@@ -191,6 +192,18 @@ def main():
 
     ckpt_every = args.ckpt_every or max(args.steps // 40, 1)
 
+    # Graceful preemption: on SIGTERM (timeout wrapper, scheduler eviction)
+    # finish the in-flight dispatch, checkpoint, and exit cleanly. The
+    # reference has only inert should_stop/should_suspend stubs
+    # (torch_utils/distributed.py:59-70); on preemptible TPU pods a real
+    # handler is table stakes -- and a clean exit releases the chip claim
+    # (a killed process can wedge the tunneled runtime's grant for hours).
+    stop_requested = []
+    signal.signal(signal.SIGTERM,
+                  lambda s, f: (stop_requested.append(True),
+                                print("# SIGTERM: will checkpoint and exit",
+                                      flush=True)))
+
     def log_window(i):
         sps = args.batch * (i + 1 - start) / (time.time() - t_start)
         extra_msg = ""
@@ -237,6 +250,8 @@ def main():
         i = start
         t_fill = time.time()
         while i < args.steps:
+            if stop_requested and i == start:
+                break  # terminated during the initial buffer fill
             replay.ingest()
             if not replay.ready():
                 if replay.exhausted():
@@ -275,6 +290,10 @@ def main():
                 flush_pending()
                 do_checkpoint(state, i_new)
             i = i_new
+            if stop_requested:
+                flush_pending()
+                do_checkpoint(state, i)
+                break
         replay.stop()
         return
 
@@ -298,6 +317,10 @@ def main():
         if i % ckpt_every == 0 and i > start:
             flush_pending()
             do_checkpoint(state, i)
+        if stop_requested:
+            flush_pending()
+            do_checkpoint(state, i + 1)
+            break
 
 
 if __name__ == "__main__":
