@@ -2,8 +2,9 @@
 
 Mirrors /root/reference/cs_vae_adversarial.py:26-273: GaussianLoss + 0.1 *
 log-perceptual + 0.1 * adversarial, with the MixedDiscriminator trained in
-alternation on (frames||recon)-vs-(recon||frames) channel stacks. LPIPS ->
-random-feature perceptual loss (documented divergence).
+alternation on (frames||recon)-vs-(recon||frames) channel stacks.
+Perceptual term: exact AlexNet-LPIPS with AD_TPU_LPIPS_WEIGHTS set,
+random-feature substitute otherwise (train/perceptual.py).
 """
 import argparse
 import os
@@ -42,7 +43,7 @@ def main():
     from autoregressive_diffusion_tpu.models.vae import VAE, VAEConfig
     from autoregressive_diffusion_tpu.ops import gaussian_loss
     from autoregressive_diffusion_tpu.train.perceptual import \
-        random_feature_perceptual_loss
+        perceptual_loss
     from autoregressive_diffusion_tpu.utils import load_model, save_model
 
     if args.vae:
@@ -79,7 +80,7 @@ def main():
         v = dict(vae_vars, params=p)
         r_mean, r_logvar, _ = vae.apply(v, frames, key=key)
         g = gaussian_loss(r_mean, r_logvar, frames)
-        perc = random_feature_perceptual_loss(r_mean, frames)
+        perc = perceptual_loss(r_mean, frames)
         adv, _ = vae_adversarial_loss(disc, dvars, frames, r_mean, train=False)
         loss = g + 0.1 * perc + args.adv_weight * adv
         return loss, dict(gaussian=g, perceptual=perc, adv=adv, recon=r_mean)

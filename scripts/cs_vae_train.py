@@ -3,8 +3,10 @@
 Mirrors /root/reference/cs_vae_train.py:25-135: VAE(channels=[3,32,128,512,8],
 n_res_blocks=5, space [1,2,2,2] x time [1,2,2,1] -> 96x compression),
 GaussianLoss + 0.1 * log-perceptual, warmup(100) + exponential decay to
-0.4x, micro-batch accumulation, grad clip 0.5. LPIPS is replaced by the
-random-feature perceptual loss (train/perceptual.py; documented divergence).
+0.4x, micro-batch accumulation, grad clip 0.5. Perceptual term: the exact
+AlexNet-LPIPS architecture when AD_TPU_LPIPS_WEIGHTS points at torch
+checkpoint files, otherwise the random-feature substitute
+(train/perceptual.py; calibrated weights are not redistributable here).
 """
 import argparse
 import os
@@ -40,7 +42,7 @@ def main():
     from autoregressive_diffusion_tpu.models.vae import VAE, VAEConfig
     from autoregressive_diffusion_tpu.ops import gaussian_loss
     from autoregressive_diffusion_tpu.train.perceptual import \
-        random_feature_perceptual_loss
+        perceptual_loss
     from autoregressive_diffusion_tpu.utils import save_model
 
     # reference cs_vae_train.py:35-38
@@ -77,7 +79,7 @@ def main():
         v = dict(variables, params=p)
         r_mean, r_logvar, _ = vae.apply(v, frames, key=key)
         g = gaussian_loss(r_mean, r_logvar, frames)
-        perc = random_feature_perceptual_loss(r_mean, frames)
+        perc = perceptual_loss(r_mean, frames)
         return g + 0.1 * perc, dict(gaussian=g, perceptual=perc,
                                     l1=jnp.mean(jnp.abs(r_mean - frames)))
 
