@@ -58,12 +58,17 @@ def _walk_key(k):
 def quantize_variables(variables, cfg=None):
     """Return a variables dict for the `decode_quant=True` model: every MP
     weight leaf named 'w' (rank >= 2) becomes ('w_q' int8, 'w_scale' f32);
-    scalars (gains, gating) and buffers pass through unchanged."""
+    scalars (gains, gating) and buffers pass through unchanged.
+
+    The result is committed to the default device: quantization itself is
+    host-side numpy, but leaving numpy leaves in the returned tree would
+    re-upload every weight on EVERY apply() call (measured: 2.4 s/call over
+    the tunneled chip vs 0.6 ms with device-resident weights)."""
     variables = jax.tree.map(np.asarray, dict(variables),
                              is_leaf=lambda x: x is None)
     out = {k: (_walk(v) if k == "params" else v)
            for k, v in variables.items()}
-    return out
+    return jax.tree.map(jnp.asarray, out)
 
 
 def quantized_config(cfg):
