@@ -85,11 +85,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding(mesh: Mesh, params, min_shard_size: int = 128):
+def param_sharding(mesh: Mesh, params, min_shard_size: int = 128,
+                   fsdp: bool = False, fsdp_min_size: int = 2 ** 16):
     """NamedSharding tree for a parameter pytree: shard the output-channel
     (last) axis of every >=2D 'w'/'kernel' weight over 'model' when it
-    divides evenly and is large enough; replicate everything else."""
+    divides evenly and is large enough; replicate everything else.
+
+    fsdp=True additionally shards each large weight over the 'data' axis
+    (ZeRO / fully-sharded data parallelism, the scaling-book "FSDP = params
+    sharded over the batch axis" recipe): the largest remaining axis that
+    divides the dp size carries 'data'; XLA then all-gathers the weight over
+    ICI just-in-time for its matmul and reduce-scatters its gradient, and the
+    optimizer state (which follows the param sharding, shard_train_state)
+    stays sharded -- per-chip param+opt memory drops ~dp-fold. Only weights
+    with >= fsdp_min_size elements participate: tiny tensors cost more in
+    collective latency than they save in HBM. The 'replica' (DCN) axis never
+    carries FSDP -- per-layer all-gathers must ride ICI, not DCN. The
+    reference has no equivalent (DDP replicates everything,
+    cs_train.py:53-54)."""
     tp = mesh.shape["model"]
+    dp = mesh.shape["data"]
 
     def rule(path, p):
         name = None
@@ -97,19 +112,31 @@ def param_sharding(mesh: Mesh, params, min_shard_size: int = 128):
             if isinstance(e, jax.tree_util.DictKey):
                 name = e.key
                 break
+        spec = [None] * p.ndim
         if (tp > 1 and name in ("w", "kernel") and p.ndim >= 2
                 and p.shape[-1] % tp == 0 and p.shape[-1] >= min_shard_size):
-            spec = [None] * (p.ndim - 1) + ["model"]
-            return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+            spec[-1] = "model"
+        if (fsdp and dp > 1 and name in ("w", "kernel") and p.ndim >= 2
+                and p.size >= fsdp_min_size):
+            free = [ax for ax in range(p.ndim)
+                    if spec[ax] is None and p.shape[ax] % dp == 0
+                    and p.shape[ax] >= dp]
+            if free:
+                spec[max(free, key=lambda ax: p.shape[ax])] = "data"
+        if all(s is None for s in spec):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_train_state(state, mesh: Mesh, min_shard_size: int = 128):
+def shard_train_state(state, mesh: Mesh, min_shard_size: int = 128,
+                      fsdp: bool = False, fsdp_min_size: int = 2 ** 16):
     """Place a TrainState on the mesh: params/EMA/opt-state sharded by the
-    param rule, scalars/coefs replicated."""
-    p_shard = param_sharding(mesh, state.params, min_shard_size)
+    param rule, scalars/coefs replicated. fsdp=True turns data parallelism
+    into fully-sharded data parallelism (see param_sharding)."""
+    p_shard = param_sharding(mesh, state.params, min_shard_size,
+                             fsdp=fsdp, fsdp_min_size=fsdp_min_size)
     rep = replicated(mesh)
 
     state_shardings = state.replace(

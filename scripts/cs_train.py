@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--shards", default=None,
                     help="local .npz latent shard dir (cs_data.py)")
     ap.add_argument("--tp", type=int, default=1, help="tensor parallelism")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="fully-sharded data parallelism: shard every large "
+                         "weight + its optimizer moments over the 'data' "
+                         "axis (ZeRO); XLA all-gathers weights just-in-time "
+                         "over ICI and reduce-scatters their gradients")
     ap.add_argument("--sp", type=int, default=1,
                     help="sequence parallelism: shard the clip's frame axis "
                          "over the mesh 'seq' axis (for long CS clips where "
@@ -119,7 +124,7 @@ def main():
     # reference cs_train.py:78: AdamW eps=1e-4
     tx = make_optimizer(learning_rate=sched, grad_clip=0.1, eps=1e-4)
     state = create_train_state(model, variables, tx)
-    state, shardings = shard_train_state(state, mesh)
+    state, shardings = shard_train_state(state, mesh, fsdp=args.fsdp)
 
     loss_cfg = EDM2LossConfig(P_mean=0.9, P_std=1.0, sigma_data=1.0,
                               context_noise_reduction=0.1)
@@ -135,7 +140,7 @@ def main():
     start = 0
     if args.resume and (ls := latest_step(args.ckpt_dir)) is not None:
         state, _ = restore_train_state(args.ckpt_dir, ls, jax.device_get(state))
-        state, _ = shard_train_state(state, mesh)
+        state, _ = shard_train_state(state, mesh, fsdp=args.fsdp)
         start = int(state.step)
         print(f"# resumed at step {start}")
 

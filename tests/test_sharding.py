@@ -105,6 +105,59 @@ def test_multislice_mesh_step_matches_single_device(setup):
     assert max(jax.tree.leaves(d)) < 2e-4
 
 
+def test_fsdp_step_matches_single_device(setup):
+    """dp=4 x tp=2 with fsdp=True: every large weight (and its Adam moments,
+    which follow the param sharding) is additionally split over 'data' --
+    ZeRO-style fully-sharded data parallelism; XLA all-gathers weights
+    just-in-time and reduce-scatters their gradients. The step must agree
+    numerically with the single-device step. Beyond-reference capability
+    (the reference DDP replicates params/optimizer on every rank,
+    cs_train.py:53-54)."""
+    model, tx, state, step = setup
+    images = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8, 8, 4))
+    key = jax.random.PRNGKey(2)
+    ref_state, ref_metrics = jax.jit(step, static_argnames=("just_2d",))(
+        state, images, None, key)
+
+    mesh = create_mesh(tp=2)
+    sharded_state, state_shardings = shard_train_state(
+        state, mesh, min_shard_size=32, fsdp=True, fsdp_min_size=256)
+    # at least one weight is split over BOTH 'data' and 'model'
+    specs = [s.spec for s in jax.tree.leaves(state_shardings.params)]
+    assert any("data" in s and "model" in s for s in specs), specs
+    # Adam moments carry the same fsdp sharding as their params
+    ospecs = [s.spec for s in jax.tree.leaves(state_shardings.opt_state)
+              if hasattr(s, "spec")]
+    assert any("data" in s for s in ospecs), ospecs
+
+    images_s = jax.device_put(images, batch_sharding(mesh))
+    step_j = jax.jit(step, static_argnames=("just_2d",),
+                     in_shardings=(state_shardings, batch_sharding(mesh),
+                                   None, replicated(mesh)),
+                     out_shardings=(state_shardings, None))
+    new_state, metrics = step_j(sharded_state, images_s, None,
+                                jax.device_put(key, replicated(mesh)))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-4)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     new_state.params, ref_state.params)
+    assert max(jax.tree.leaves(d)) < 2e-4
+
+
+def test_param_sharding_rule_fsdp():
+    mesh = create_mesh(tp=2)  # dp=4
+    params = {"a": {"w": jnp.zeros((3, 3, 16, 64))},
+              "tiny": {"w": jnp.zeros((8, 8))}}
+    sh = param_sharding(mesh, params, min_shard_size=32,
+                        fsdp=True, fsdp_min_size=256)
+    # largest free axis divisible by dp=4 is cin=16 (last axis holds 'model')
+    assert sh["a"]["w"].spec == jax.sharding.PartitionSpec(
+        None, None, "data", "model")
+    # below fsdp_min_size: 'data' not applied
+    assert sh["tiny"]["w"].spec == jax.sharding.PartitionSpec()
+
+
 def test_param_sharding_rule():
     mesh = create_mesh(tp=2)
     params = {"a": {"w": jnp.zeros((3, 3, 16, 64))},
