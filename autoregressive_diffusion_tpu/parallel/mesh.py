@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -119,8 +120,7 @@ def param_sharding(mesh: Mesh, params, min_shard_size: int = 128,
         if (fsdp and dp > 1 and name in ("w", "kernel") and p.ndim >= 2
                 and p.size >= fsdp_min_size):
             free = [ax for ax in range(p.ndim)
-                    if spec[ax] is None and p.shape[ax] % dp == 0
-                    and p.shape[ax] >= dp]
+                    if spec[ax] is None and p.shape[ax] % dp == 0]
             if free:
                 spec[max(free, key=lambda ax: p.shape[ax])] = "data"
         if all(s is None for s in spec):
@@ -150,14 +150,37 @@ def shard_train_state(state, mesh: Mesh, min_shard_size: int = 128,
     return jax.device_put(state, state_shardings), state_shardings
 
 
+def gather_to_host(tree):
+    """Host (numpy) copy of a pytree whose leaves may be sharded across
+    processes (FSDP): non-fully-addressable leaves are first replicated via
+    a jitted identity with replicated out_shardings (XLA all-gathers over
+    ICI), then fetched. Leaves every fully-addressable leaf on the fast
+    plain device_get path. Use this instead of jax.device_get before
+    checkpointing a state that may carry FSDP shards."""
+    def fix(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = jax.jit(lambda a: a, out_shardings=NamedSharding(
+                x.sharding.mesh, P()))(x)
+        return np.asarray(jax.device_get(x))
+    return jax.tree.map(fix, tree)
+
+
 def check_replica_consistency(params, rtol: float = 0.0) -> list:
     """Verify that every process holds identical parameter values --
     the SPMD analogue of the reference's check_ddp_consistency broadcast
     compare (torch_utils/misc.py:183-194). Returns a list of mismatch
     descriptions (empty == consistent). Cheap: compares per-leaf fp64 sums
-    gathered across processes, not full tensors."""
-    sums = np.asarray([np.asarray(jax.device_get(p), np.float64).sum()
-                       for p in jax.tree.leaves(params)], np.float64)
+    gathered across processes, not full tensors. FSDP-sharded leaves are
+    summed under jit with replicated out_shardings (XLA all-gathers the
+    shards) so the check works on non-fully-addressable arrays too."""
+    def host_sum(p):
+        if isinstance(p, jax.Array) and not p.is_fully_addressable:
+            p = jax.jit(lambda a: a.astype(jnp.float32).sum(),
+                        out_shardings=NamedSharding(p.sharding.mesh, P()))(p)
+        return np.asarray(jax.device_get(p), np.float64).sum()
+
+    sums = np.asarray([host_sum(p) for p in jax.tree.leaves(params)],
+                      np.float64)
     if jax.process_count() == 1:
         return []
     from jax.experimental import multihost_utils

@@ -84,6 +84,7 @@ def main():
                                                    batched_latents)
     from autoregressive_diffusion_tpu.models import Precond, UNetConfig
     from autoregressive_diffusion_tpu.parallel import (create_mesh,
+                                                       gather_to_host,
                                                        replicated,
                                                        seq_sharding,
                                                        set_sp_context,
@@ -139,7 +140,10 @@ def main():
 
     start = 0
     if args.resume and (ls := latest_step(args.ckpt_dir)) is not None:
-        state, _ = restore_train_state(args.ckpt_dir, ls, jax.device_get(state))
+        # gather_to_host (not device_get): with --fsdp in a multi-process
+        # run the state's leaves are not fully addressable
+        state, _ = restore_train_state(args.ckpt_dir, ls,
+                                       gather_to_host(state))
         state, _ = shard_train_state(state, mesh, fsdp=args.fsdp)
         start = int(state.step)
         print(f"# resumed at step {start}")
@@ -198,16 +202,19 @@ def main():
             # mesh (reference loss_weight.py:122-149)
             coefs = jnp.asarray(fit_and_broadcast(noise_state))
             state = state.replace(coefs=jax.device_put(coefs, replicated(mesh)))
-        if i % 2000 == 0 and i > start and is_p0:
-            save_train_state(args.ckpt_dir, int(state.step),
-                             jax.device_get(state), {"losses": losses},
-                             keep=3)
-            print("# checkpoint saved")
-        if stop_requested:
+        if i % 2000 == 0 and i > start:
+            # all processes participate in the FSDP all-gather inside
+            # gather_to_host; only process 0 writes
+            host_state = gather_to_host(state)
             if is_p0:
-                save_train_state(args.ckpt_dir, int(state.step),
-                                 jax.device_get(state), {"losses": losses},
-                                 keep=3)
+                save_train_state(args.ckpt_dir, int(state.step), host_state,
+                                 {"losses": losses}, keep=3)
+                print("# checkpoint saved")
+        if stop_requested:
+            host_state = gather_to_host(state)
+            if is_p0:
+                save_train_state(args.ckpt_dir, int(state.step), host_state,
+                                 {"losses": losses}, keep=3)
                 print("# checkpoint saved on SIGTERM")
             break
 

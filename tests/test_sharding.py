@@ -158,6 +158,23 @@ def test_param_sharding_rule_fsdp():
     assert sh["tiny"]["w"].spec == jax.sharding.PartitionSpec()
 
 
+def test_gather_to_host_roundtrips_fsdp_state(setup):
+    """gather_to_host must return plain numpy equal to the original values
+    for an FSDP-sharded state (the checkpoint path for --fsdp runs), and
+    check_replica_consistency must run on sharded params without error."""
+    from autoregressive_diffusion_tpu.parallel import (
+        check_replica_consistency, gather_to_host)
+    model, tx, state, step = setup
+    mesh = create_mesh(tp=2)
+    sharded_state, _ = shard_train_state(
+        state, mesh, min_shard_size=32, fsdp=True, fsdp_min_size=256)
+    host = gather_to_host(sharded_state)
+    for a, b in zip(jax.tree.leaves(host), jax.tree.leaves(state)):
+        assert isinstance(a, np.ndarray) or np.isscalar(a)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert check_replica_consistency(sharded_state.params) == []
+
+
 def test_param_sharding_rule():
     mesh = create_mesh(tp=2)
     params = {"a": {"w": jnp.zeros((3, 3, 16, 64))},
