@@ -157,7 +157,12 @@ def make_sampler_callback(model, num_mse_steps: int = 32,
     """
     from ..models.cache import init_cache
 
-    prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True))
+    # prefill_offset=0 (STATIC): both callback prefills start from a fresh
+    # cache, so the frame counter is statically 0 -- the hint lets
+    # VideoAttention route through the splash prefill kernel instead of the
+    # dense (t*hw)x(f*hw) fallback (models/attention.py warm-prefill path)
+    prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True,
+                              prefill_offset=0))
     mse_sampler = jax.jit(
         partial(edm_sampler, model, num_steps=num_mse_steps, sigma_max=3.0,
                 rho=7.0, S_churn=20.0, update_cache=False),

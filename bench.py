@@ -180,14 +180,114 @@ def rollout():
     }))
 
 
+def cs(compare_fused: bool = False):
+    """CS-scale training throughput (reference cs_train.py:35-63 config:
+    128 model channels, mult 1/2/4/4, 32x32x8 latents, clip T=16,
+    micro-batch 2 -> DART concat is 32 frames of 32x32). The reference
+    publishes no CS throughput number (its 8xH100 run failed,
+    index.html:402), so vs_baseline is null; the value documents that the
+    frame-blocked fused-conv kernel runs AND is fast at the scale it was
+    built for.
+
+    With compare_fused, times the same step with AD_TPU_FUSED_CONV=0 (pure
+    XLA convs) and reports the fused/XLA speed ratio."""
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+    from autoregressive_diffusion_tpu.train import (EDM2LossConfig,
+                                                    create_train_state,
+                                                    make_optimizer,
+                                                    make_scanned_train_step)
+
+    cfg = UNetConfig(img_resolution=32, img_channels=8, label_dim=4,
+                     model_channels=128, channel_mult=(1, 2, 4, 4),
+                     num_blocks=2, video_attn_resolutions=(4,),
+                     frame_attn_resolutions=(8,), max_frames=64)
+    model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
+    b, t, g = 2, 16, 4
+
+    x0 = jnp.zeros((b, 2 * t, 32, 32, 8))
+    variables = jax.jit(model.init, static_argnames=("mode",))(
+        jax.random.PRNGKey(0), x0, jnp.ones((b, 2 * t)),
+        jnp.zeros((b, 2 * t), jnp.int32), mode="train")
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    print(f"# CS UNet: {n_params/1e6:.1f}M params, 32x32x8 latents, T=16, "
+          f"micro-batch {b}", file=sys.stderr)
+
+    tx = make_optimizer(learning_rate=1e-3)
+    loss_cfg = EDM2LossConfig(P_mean=0.9, P_std=1.0,
+                              context_noise_reduction=0.1)
+    images = jax.random.normal(jax.random.PRNGKey(1), (g, b, t, 32, 32, 8))
+    cond = jnp.zeros((g, b, t), jnp.int32)
+
+    def measure():
+        state = create_train_state(model, variables, tx)
+        step = jax.jit(make_scanned_train_step(model, loss_cfg, tx,
+                                               batch_size=b),
+                       static_argnames=("just_2d",))
+        s, m = step(state, images, cond, jax.random.PRNGKey(0))
+        float(m["loss"])  # compile + warm
+
+        def run(n_dispatch):
+            s = state
+            t0 = time.perf_counter()
+            for i in range(n_dispatch):
+                s, m = step(s, images, cond, jax.random.PRNGKey(100 + i))
+            float(m["loss"])  # forced fetch (see main())
+            return time.perf_counter() - t0
+
+        run(1)
+        t_short, t_long = run(1), run(4)
+        return (t_long - t_short) / 3  # marginal sec per g-step dispatch
+
+    try:
+        dt_fused = measure()
+    except Exception as e:  # pragma: no cover - hardware-specific
+        print(f"# CS fused path failed ({type(e).__name__}); "
+              "AD_TPU_FUSED_CONV=0 fallback", file=sys.stderr)
+        os.environ["AD_TPU_FUSED_CONV"] = "0"
+        jax.clear_caches()
+        dt_fused = measure()
+
+    unit = f"samples/s (ms/step: {dt_fused/g*1e3:.1f})"
+    if compare_fused:
+        prev = os.environ.get("AD_TPU_FUSED_CONV")
+        os.environ["AD_TPU_FUSED_CONV"] = "0"
+        jax.clear_caches()
+        dt_xla = measure()
+        if prev is None:
+            del os.environ["AD_TPU_FUSED_CONV"]
+        else:
+            os.environ["AD_TPU_FUSED_CONV"] = prev
+        ratio = dt_xla / dt_fused
+        print(f"# CS fused-conv kernel vs XLA convs: {dt_fused/g*1e3:.1f} "
+              f"vs {dt_xla/g*1e3:.1f} ms/step -> {ratio:.2f}x",
+              file=sys.stderr)
+        unit = (f"samples/s (fused {dt_fused/g*1e3:.1f} ms/step, "
+                f"XLA {dt_xla/g*1e3:.1f}, fused {ratio:.2f}x)")
+
+    samples_per_sec = b * g / dt_fused
+    print(json.dumps({
+        "metric": "cs_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": unit,
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    # One run emits BOTH target metrics (BASELINE.md: training samples/s/chip
-    # AND AR rollout frames/s), one JSON line each; --train-only/--rollout
-    # restrict to one.
+    # One run emits the target metrics (BASELINE.md: training samples/s/chip
+    # AND AR rollout frames/s) plus the CS-scale throughput, one JSON line
+    # each; --train-only/--rollout/--cs restrict to one.
     if "--rollout" in sys.argv:
         rollout()
     elif "--train-only" in sys.argv:
         main()
+    elif "--cs" in sys.argv:
+        cs(compare_fused=True)
     else:
         rollout()
         main()
+        try:
+            cs()
+        except Exception as e:  # keep the headline metrics if CS fails
+            print(f"# cs bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)

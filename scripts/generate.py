@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--guidance", type=float, default=1.0)
     ap.add_argument("--out", default="images_training/generated.png")
     ap.add_argument("--bench-iters", type=int, default=100)
+    ap.add_argument("--reprime-frames", type=int, default=2,
+                    help="observed frames fed into the warm cache after the "
+                         "rollout (exercises the static prefill_offset "
+                         "warm-prefill path; 0 disables)")
     args = ap.parse_args()
 
     from autoregressive_diffusion_tpu.models import (Precond, UNetConfig,
@@ -63,8 +67,12 @@ def main():
                                 (b, args.context_frames, res, res, ch))
     sigma = jnp.full((b, args.context_frames), 0.05)
     cond = jnp.zeros((b, args.context_frames), jnp.int32)
-    prefill = jax.jit(lambda v, x, s, c, ca: model.apply(
-        v, x, s, c, cache=ca, update_cache=True, mode="eval"))
+    # prefill_offset is a STATIC hint (one compile per offset bucket) that
+    # routes prefill through the splash kernel instead of the dense
+    # (t*hw)x(f*hw) fallback; the fresh cache starts at frame 0
+    prefill = jax.jit(lambda v, x, s, c, ca, off=0: model.apply(
+        v, x, s, c, cache=ca, update_cache=True, mode="eval",
+        prefill_offset=off), static_argnames=("off",))
     _, cache = prefill(variables, context, sigma, cond, cache)
     print(f"# prefilled {args.context_frames} context frames")
 
@@ -104,6 +112,21 @@ def main():
                              rho=args.rho, guidance=args.guidance)
     print(f"# generated {args.gen_frames} frames; latent stats "
           f"mean={float(frames.mean()):.3f} std={float(frames.std()):.3f}")
+
+    # warm-cache re-prime: feed more observed context into the ALREADY-WARM
+    # cache (e.g. a world model receiving new real frames mid-rollout). The
+    # frame counter here is statically known (context + generated), so the
+    # static prefill_offset hint routes this through the splash prefill
+    # kernel rather than the dense fallback (models/attention.py).
+    if args.reprime_frames > 0:
+        off = args.context_frames + args.gen_frames
+        obs = jax.random.normal(jax.random.PRNGKey(4),
+                                (b, args.reprime_frames, res, res, ch))
+        sig_r = jnp.full((b, args.reprime_frames), 0.05)
+        cond_r = jnp.zeros((b, args.reprime_frames), jnp.int32)
+        _, cache = prefill(variables, obs, sig_r, cond_r, cache, off=off)
+        print(f"# re-primed {args.reprime_frames} frames at warm offset "
+              f"{off} (cache frames: {int(cache['frames'])})")
     per_frame = args.num_steps * 2 * per_call
     print(f"# est. rollout cost: {per_frame:.2f} s/frame "
           f"({args.num_steps} steps x 2 denoiser calls)")

@@ -98,3 +98,63 @@ def test_frame_attention_matches_manual_softmax():
     proj = MPConv(CH, (1, 1)).apply({"params": params["params"]["attn_proj"]}, o)
     y_manual = mp_sum(x, proj, t=0.3)
     assert float(jnp.std(y - y_manual)) <= TOL
+
+
+def test_precond_prefill_offset_routes_to_splash_and_matches_dense(monkeypatch):
+    """The static `prefill_offset` hint at the Precond level must (a) route
+    warm-cache prefill through ops.flash_attention.prefill_cache_attention
+    and (b) produce the same output as the hint-free dense path (guards
+    models/unet.py prefill_offset plumbing + the production call sites in
+    scripts/generate.py and sampling.make_sampler_callback)."""
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+    from autoregressive_diffusion_tpu.models.cache import init_cache
+    import autoregressive_diffusion_tpu.models.attention as attn_mod
+    from autoregressive_diffusion_tpu.ops import flash_attention as fa
+
+    cfg = UNetConfig(img_resolution=16, img_channels=4, model_channels=16,
+                     channel_mult=(1, 2), num_blocks=1,
+                     video_attn_resolutions=(8,),
+                     frame_attn_resolutions=(), max_frames=8,
+                     channels_per_head=16)  # default 64 -> 0 heads here
+    model = Precond(cfg)
+    t_ctx, t_new = 3, 2
+    x = jax.random.normal(jax.random.PRNGKey(7),
+                          (1, t_ctx + t_new, 16, 16, 4))
+    sig = jnp.full((1, t_ctx + t_new), 0.05)
+    variables = model.init(jax.random.PRNGKey(8), x, sig, mode="eval")
+
+    def run(offset_hint, warm_kwargs):
+        cache = init_cache(model, variables, batch_size=1)
+        _, cache = model.apply(variables, x[:, :t_ctx], sig[:, :t_ctx],
+                               mode="eval", cache=cache, update_cache=True)
+        y, cache = model.apply(variables, x[:, t_ctx:], sig[:, t_ctx:],
+                               mode="eval", cache=cache, update_cache=True,
+                               prefill_offset=offset_hint, **warm_kwargs)
+        return y, cache
+
+    y_dense, cache_dense = run(None, {})
+
+    # route the hinted path through the splash kernel: force the support
+    # gate on and run the kernel in interpreter mode (CPU has no Mosaic)
+    calls = []
+    real_prefill = fa.prefill_cache_attention
+
+    def spy_prefill(q, k, v, t_new_, f_total, offset, hw, interpret=False):
+        calls.append((t_new_, f_total, offset))
+        return real_prefill(q, k, v, t_new_, f_total, offset, hw,
+                            interpret=True)
+
+    # mimic the TPU gate's shape rule (seq tileable to 128 lanes) instead of
+    # a blanket True: init_cache's internal 1-frame trace (seq=64) and the
+    # cold prefill (seq=192) must keep the dense path, only the warm prefill
+    # (t_new*hw = 128) routes to splash
+    monkeypatch.setattr(attn_mod, "flash_supported",
+                        lambda s, d: s % 128 == 0 and s >= 128)
+    monkeypatch.setattr(attn_mod, "prefill_cache_attention", spy_prefill)
+    y_hint, cache_hint = run(t_ctx, {})
+
+    assert calls, "prefill_offset hint did not route to the splash kernel"
+    assert all(c == (t_new, cfg.max_frames, t_ctx) for c in calls), calls
+    assert float(jnp.std(y_hint - y_dense)) <= TOL
+    assert int(cache_hint["frames"]) == int(cache_dense["frames"]) \
+        == t_ctx + t_new
