@@ -14,9 +14,14 @@ import os as _os
 # Mosaic compiles (~minutes cold on the remote AOT service); cached
 # executables make every process after the first start in seconds.
 # Opt out with AD_TPU_COMPILE_CACHE=0 or point it at another directory.
-_cache = _os.environ.get("AD_TPU_COMPILE_CACHE",
-                         _os.path.expanduser("~/.cache/ad_tpu_xla"))
-if _cache not in ("0", ""):
+# Default-off on the CPU backend: XLA:CPU AOT results are host-ISA
+# specific, and a cache dir shared between machines (e.g. a common home
+# mount) can SIGILL a process that loads an executable compiled on a
+# different CPU. Set AD_TPU_COMPILE_CACHE explicitly to cache on CPU.
+_cache = _os.environ.get("AD_TPU_COMPILE_CACHE")
+if _cache is None and _os.environ.get("JAX_PLATFORMS", "").strip() != "cpu":
+    _cache = _os.path.expanduser("~/.cache/ad_tpu_xla")
+if _cache not in (None, "0", ""):
     try:
         import jax as _jax
         _jax.config.update("jax_compilation_cache_dir", _cache)

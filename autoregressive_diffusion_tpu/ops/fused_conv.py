@@ -133,12 +133,22 @@ def _bwd_vmem_bytes(tb: int, h: int, w: int, cp: int, cop: int) -> int:
 
 def _pick_tb(t: int, h: int, w: int, cp: int, cop: int) -> int:
     """Largest frame-block size whose backward program fits the VMEM budget
-    (AD_TPU_FUSED_VMEM_MB, default 96; AD_TPU_FUSED_TB forces a value)."""
+    (AD_TPU_FUSED_VMEM_MB, default 64; AD_TPU_FUSED_TB forces a value).
+
+    Why 64 when the chip's scoped-VMEM cap is ~97 MiB: _bwd_vmem_bytes is
+    an under-estimate whose miss grows with the limit the scheduler is
+    granted (measured on the CS dec-16x16 Cp=768 shape, estimate 80.0M:
+    real stack 91.6M under an 88.8M limit, 109.9M under a 96.8M limit --
+    XLA packs more live buffers the more scoped VMEM it gets, so chasing
+    with margin diverges). 64 keeps every shape's real footprint safely
+    below the cap; shapes whose TB=2 estimate still exceeds it (CS
+    dec-16x16 up/block0) take the XLA conv path instead of OOMing the
+    compiler."""
     import os
     env = os.environ.get("AD_TPU_FUSED_TB")
     if env:
         return max(2, min(int(env), t))
-    budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "96")) << 20
+    budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "64")) << 20
     tb = t
     while tb > 2 and _bwd_vmem_bytes(tb, h, w, cp, cop) > budget:
         tb = -(-tb // 2)
@@ -155,6 +165,13 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
     not fit VMEM even at the minimum frame-block size (see _bwd_vmem_bytes /
     _pick_tb) fall back to the XLA path -- with cin/cout unknown (0) the
     check is skipped for backward compatibility.
+
+    AD_TPU_FUSED_MAX_CP (default 96) caps the padded in-channel count the
+    kernel accepts: its edge over XLA is lane-starved shapes (C < 128,
+    where XLA pads lanes 2-4x); from Cp=128 up XLA tiles lanes densely and
+    the kernel's halo recompute makes it a net loss. Measured end-to-end
+    (v5e): gym config 58.5 samples/s with no cap, 60.4 at 192, 61.1 at 96;
+    CS config 106.1 ms/step pure-XLA vs 117.2 all-fused and 118.6 at 192.
     """
     import os
     env = os.environ.get("AD_TPU_FUSED_CONV", "")
@@ -165,7 +182,9 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
     if cin or cout:
         cp = _cpad(max(cin, 1))
         cop = max(_cpad(max(cout, 1)), 8)
-        budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "96")) << 20
+        if cp > int(os.environ.get("AD_TPU_FUSED_MAX_CP", "96")):
+            return False, False
+        budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "64")) << 20
         if _bwd_vmem_bytes(2, h, w, cp, cop) > budget:
             return False, False
     if env == "interpret":
@@ -608,8 +627,14 @@ def _specs(tb, cp, cop, l):
 def _vmem_params(*byte_counts):
     """Scoped-VMEM limit sized to the call (double-buffered blocks + live
     values); a blanket high limit starves XLA's scheduling of neighboring
-    ops, a blanket low one OOMs the big level-0 backward."""
-    need = int(sum(byte_counts) * 2.5) + 8 * 1024 * 1024
+    ops, a blanket low one OOMs the big level-0 backward.
+
+    The 24 MiB additive margin is measured, not theoretical: the CS-scale
+    dec-16x16 (Cp=768, Co=256, TB=2) forward allocates 49.88 MiB on stack
+    against an 8-MiB-margin request of 49.72 MiB, and its backward
+    91.58 MiB against a 16-MiB-margin request of 88.81 MiB -- both
+    compile-time scoped-vmem OOMs."""
+    need = int(sum(byte_counts) * 2.5) + 24 * 1024 * 1024
     return pltpu.CompilerParams(
         vmem_limit_bytes=min(max(need, 32 * 1024 * 1024),
                              124 * 1024 * 1024))

@@ -219,23 +219,30 @@ def cs(compare_fused: bool = False):
     cond = jnp.zeros((g, b, t), jnp.int32)
 
     def measure():
+        # At 310M params the TrainState (params + 2 Adam moments + 2 EMAs,
+        # fp32) is ~5.8 GiB -- donate it and THREAD it through every
+        # dispatch so at most one copy plus in-flight update buffers exist
+        # (two undonated copies OOMed the 16 GiB chip). Threading keeps the
+        # marginal-cost timing honest: no input is ever reused after
+        # donation.
         state = create_train_state(model, variables, tx)
         step = jax.jit(make_scanned_train_step(model, loss_cfg, tx,
                                                batch_size=b),
-                       static_argnames=("just_2d",))
-        s, m = step(state, images, cond, jax.random.PRNGKey(0))
+                       static_argnames=("just_2d",), donate_argnums=(0,))
+        state, m = step(state, images, cond, jax.random.PRNGKey(0))
         float(m["loss"])  # compile + warm
 
-        def run(n_dispatch):
-            s = state
+        def run(n_dispatch, state):
             t0 = time.perf_counter()
             for i in range(n_dispatch):
-                s, m = step(s, images, cond, jax.random.PRNGKey(100 + i))
+                state, m = step(state, images, cond, jax.random.PRNGKey(i))
             float(m["loss"])  # forced fetch (see main())
-            return time.perf_counter() - t0
+            return time.perf_counter() - t0, state
 
-        run(1)
-        t_short, t_long = run(1), run(4)
+        _, state = run(1, state)
+        t_short, state = run(1, state)
+        t_long, state = run(4, state)
+        del state
         return (t_long - t_short) / 3  # marginal sec per g-step dispatch
 
     try:

@@ -1,0 +1,184 @@
+"""Rollout-stability metric: quantify long-horizon autoregressive drift.
+
+The reference claims O(1)-per-frame inference enables unbounded-length
+rollouts (/root/reference/README.md:105,126) but never measures rollout
+quality beyond the 8-frame dashboard tiles. This tool generates >=32 latent
+frames from a trained checkpoint, conditioned on the GROUND-TRUTH action
+sequence of a recorded episode, and reports per-frame:
+
+  * latent MSE vs the ground-truth continuation (trajectory divergence --
+    expected to grow with horizon in a chaotic env even for a perfect
+    model, so it is reported against the PERSISTENCE baseline: repeating
+    the last context frame);
+  * generated-latent per-frame std vs ground truth (magnitude stability:
+    an exploding/collapsing world model shows here long before MSE does);
+  * pixel MSE of the decoded frames.
+
+Outputs a curve PNG + an .npz of the raw series under --out, and a tiled
+strip of decoded generated-vs-truth frames.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unet", required=True, help="UNet kwargs-bundle ckpt")
+    ap.add_argument("--vae", required=True, help="VAE kwargs-bundle ckpt")
+    ap.add_argument("--vae-std", type=float, default=1.45)
+    ap.add_argument("--context", type=int, default=4, help="latent ctx frames")
+    ap.add_argument("--frames", type=int, default=32,
+                    help="generated latent frames (>=32 for the stability claim)")
+    ap.add_argument("--episodes", type=int, default=3)
+    ap.add_argument("--num-steps", type=int, default=32, help="sampler NFE/2")
+    ap.add_argument("--env", default="LunarLander-v3")
+    ap.add_argument("--out", default="run_artifacts/rollout_drift")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from autoregressive_diffusion_tpu.data import GymDataGenerator
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+    from autoregressive_diffusion_tpu.models.cache import init_cache
+    from autoregressive_diffusion_tpu.models.vae import (VAE, VAEConfig,
+                                                         frames_to_latents,
+                                                         latents_to_frames)
+    from autoregressive_diffusion_tpu.sampling.sampler import edm_sampler
+    from autoregressive_diffusion_tpu.utils import load_model
+
+    os.makedirs(args.out, exist_ok=True)
+
+    vae_kwargs, vae_vars = load_model(args.vae)
+    vae_cfg = VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
+                           for k, v in vae_kwargs.items()})
+    vae = VAE(vae_cfg)
+    lat_mean = jnp.zeros((vae_cfg.latent_channels,))
+    lat_std = jnp.asarray(args.vae_std)
+
+    unet_kwargs, unet_vars = load_model(args.unet)
+    cfg = UNetConfig(**{k: tuple(v) if isinstance(v, list) else v
+                        for k, v in unet_kwargs.items()})
+    # KV capacity must cover context + generated frames
+    need = args.context + args.frames
+    if cfg.max_frames < need:
+        cfg = UNetConfig(**{**cfg.__dict__, "max_frames": need})
+    model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
+
+    tc = vae_cfg.time_compression
+    state_size = (args.context + args.frames) * tc
+    gen = GymDataGenerator(state_size, args.env, args.episodes * 4, tc,
+                           return_anyways=True, frame_size=256,
+                           seed=args.seed)
+
+    encode = jax.jit(lambda f: frames_to_latents(vae, vae_vars, f,
+                                                 lat_mean, lat_std))
+    decode = jax.jit(lambda z: latents_to_frames(vae, vae_vars, z,
+                                                 lat_mean, lat_std))
+    prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True,
+                              prefill_offset=0))
+    sampler = jax.jit(
+        partial(edm_sampler, model, num_steps=args.num_steps, sigma_max=80.0,
+                rho=7.0, S_churn=20.0),
+        static_argnames=("shape",))
+
+    key = jax.random.PRNGKey(args.seed)
+    all_mse, all_pmse, all_std, all_gt_std, all_persist = [], [], [], [], []
+    strips = None
+    it = iter(gen)
+    for ep in range(args.episodes):
+        frames, actions, _ = next(it)
+        z = encode(jnp.asarray(frames, jnp.float32)[None])  # (1, T, h, w, c)
+        acts = jnp.asarray(actions, jnp.int32)[None]        # (1, T)
+        ctx, gt = z[:, :args.context], z[:, args.context:]
+        b, _, h, w, c = z.shape
+        cache = init_cache(model, unet_vars, batch_size=b)
+        sig = jnp.full((b, args.context), 0.05, jnp.float32)
+        _, cache = prefill(unet_vars, ctx, sig, acts[:, :args.context],
+                           cache=cache)
+        gen_frames = []
+        for i in range(args.frames):
+            key, k = jax.random.split(key)
+            cond = acts[:, args.context + i:args.context + i + 1]
+            x, _, _, cache = sampler(unet_vars, cache, k,
+                                     shape=(b, 1, h, w, c),
+                                     conditioning=cond)
+            gen_frames.append(x)
+        gen_lat = jnp.concatenate(gen_frames, axis=1)      # (1, F, h, w, c)
+
+        gt_np = np.asarray(gt)
+        gen_np = np.asarray(gen_lat)
+        last_ctx = np.asarray(ctx[:, -1:])
+        all_mse.append(((gen_np - gt_np) ** 2).mean(axis=(0, 2, 3, 4)))
+        all_persist.append(((last_ctx - gt_np) ** 2).mean(axis=(0, 2, 3, 4)))
+        all_std.append(gen_np.std(axis=(0, 2, 3, 4)))
+        all_gt_std.append(gt_np.std(axis=(0, 2, 3, 4)))
+        px_gen = np.asarray(decode(gen_lat))
+        px_gt = np.asarray(decode(gt))
+        all_pmse.append(
+            ((px_gen.astype(np.float32) - px_gt.astype(np.float32)) ** 2)
+            .mean(axis=(0, 2, 3, 4)) / 255.0 ** 2)
+        if strips is None:  # first episode: save a visual strip
+            sel = np.linspace(0, args.frames - 1, 8).astype(int)
+            strips = (px_gen[0][sel], px_gt[0][sel])
+        print(f"# episode {ep}: latent MSE frame0={all_mse[-1][0]:.4f} "
+              f"frame{args.frames-1}={all_mse[-1][-1]:.4f}", flush=True)
+
+    mse = np.mean(all_mse, axis=0)
+    persist = np.mean(all_persist, axis=0)
+    pmse = np.mean(all_pmse, axis=0)
+    std = np.mean(all_std, axis=0)
+    gt_std = np.mean(all_gt_std, axis=0)
+    np.savez(os.path.join(args.out, "drift.npz"), latent_mse=mse,
+             persistence_mse=persist, pixel_mse=pmse, gen_std=std,
+             gt_std=gt_std)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    f = np.arange(1, args.frames + 1)
+    axes[0].plot(f, mse, label="generated vs truth")
+    axes[0].plot(f, persist, "--", label="persistence baseline")
+    axes[0].set(xlabel="generated frame", ylabel="latent MSE",
+                title="Trajectory divergence")
+    axes[0].legend()
+    axes[1].plot(f, std, label="generated")
+    axes[1].plot(f, gt_std, "--", label="ground truth")
+    axes[1].set(xlabel="generated frame", ylabel="latent std",
+                title="Magnitude stability (flat = stable)")
+    axes[1].legend()
+    axes[2].plot(f, pmse)
+    axes[2].set(xlabel="generated frame", ylabel="pixel MSE (norm.)",
+                title="Decoded-pixel divergence")
+    for ax in axes:
+        ax.grid(alpha=0.3)
+    fig.suptitle(f"AR rollout drift: {args.frames} frames, "
+                 f"{args.episodes} episodes, ctx {args.context}")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.out, "drift_curves.png"), dpi=120)
+
+    g, t = strips
+    rows = [np.concatenate(list(g), axis=1), np.concatenate(list(t), axis=1)]
+    strip = np.concatenate(rows, axis=0).astype(np.uint8)
+    plt.figure(figsize=(16, 4))
+    plt.imshow(strip)
+    plt.axis("off")
+    plt.title("top: generated (frames 1..N sampled), bottom: ground truth")
+    plt.savefig(os.path.join(args.out, "drift_strip.png"), dpi=120,
+                bbox_inches="tight")
+    print(f"# wrote {args.out}/drift_curves.png, drift_strip.png, drift.npz")
+    print(f"# latent MSE frame1={mse[0]:.4f} frame{args.frames}={mse[-1]:.4f} "
+          f"(persistence {persist[-1]:.4f}); "
+          f"std drift {std[-1]/max(gt_std[-1],1e-8):.3f}x truth")
+
+
+if __name__ == "__main__":
+    main()

@@ -216,7 +216,7 @@ def test_vmem_gate_and_block_picker():
     # fits when frame-blocked
     tb = fc._pick_tb(16, 32, 32, 256, 256)
     assert 2 <= tb < 16
-    budget = 96 << 20
+    budget = 64 << 20
     assert fc._bwd_vmem_bytes(tb, 32, 32, 256, 256) <= budget
     assert fc._bwd_vmem_bytes(16, 32, 32, 256, 256) > budget
     # fused_supported admits the CS shape (channel-aware) in train mode
@@ -227,13 +227,28 @@ def test_vmem_gate_and_block_picker():
     prev = os.environ.get("AD_TPU_FUSED_CONV")
     os.environ["AD_TPU_FUSED_CONV"] = "interpret"
     try:
+        # the channel cap (AD_TPU_FUSED_MAX_CP, default 96) sends
+        # lane-dense shapes (Cp >= 128) to XLA: measured end-to-end at CS
+        # scale the kernel loses there (all-fused 117.2 vs XLA 106.1
+        # ms/step), so cin=256 is rejected by default...
+        ok, _ = fc.fused_supported("train", 32, 32, 32, cin=256, cout=256)
+        assert not ok
+        # ...but admitted (frame-blocked) when the cap is raised
+        os.environ["AD_TPU_FUSED_MAX_CP"] = "512"
         ok, interp = fc.fused_supported("train", 32, 32, 32,
                                         cin=256, cout=256)
         assert ok and interp
+        # a lane-starved gym shape is admitted under the default cap
+        del os.environ["AD_TPU_FUSED_MAX_CP"]
+        ok, interp = fc.fused_supported("train", 64, 64, 16,
+                                        cin=64, cout=64)
+        assert ok and interp
         # an absurd shape that cannot fit even at TB=2 is rejected
+        os.environ["AD_TPU_FUSED_MAX_CP"] = "99999"
         ok, _ = fc.fused_supported("train", 256, 256, 32,
                                    cin=4096, cout=4096)
         assert not ok
+        del os.environ["AD_TPU_FUSED_MAX_CP"]
     finally:
         if prev is None:
             os.environ.pop("AD_TPU_FUSED_CONV", None)
