@@ -84,11 +84,43 @@ def write_latent_shard(path: str, latents: np.ndarray,
 def merge_shard_index(out_dir: str, shard_dirs) -> str:
     """Merge per-worker MosaicML `index.json` files into one dataset index
     (parity with /root/reference/edm2/cs_dataset_processing/
-    index_fusion.py:37-44 `merge_index`). Requires `streaming`."""
-    from streaming.base.util import merge_index
+    index_fusion.py:37-44 `merge_index`).
+
+    Uses `streaming.base.util.merge_index` when the library is installed;
+    otherwise falls back to the same transformation in pure JSON -- the MDS
+    v2 index is `{"version": 2, "shards": [...]}` and merging is
+    concatenating the shard entries with each shard's file basenames
+    rewritten to be relative to `out_dir` (so `StreamingDataset` can
+    resolve them through the merged root)."""
     index_files = [os.path.join(d, "index.json") for d in shard_dirs]
-    merge_index(index_files, out_dir)
-    return os.path.join(out_dir, "index.json")
+    try:
+        from streaming.base.util import merge_index
+        merge_index(index_files, out_dir)
+        return os.path.join(out_dir, "index.json")
+    except ImportError:
+        pass
+    import json
+    merged = {"version": 2, "shards": []}
+    for d, f in zip(shard_dirs, index_files):
+        with open(f) as fh:
+            idx = json.load(fh)
+        assert idx.get("version", 2) == 2, f"unsupported index version in {f}"
+        rel = os.path.relpath(os.path.abspath(d), os.path.abspath(out_dir))
+        for shard in idx["shards"]:
+            shard = dict(shard)
+            for k in ("raw_data", "zip_data", "raw_meta", "zip_meta"):
+                v = shard.get(k)
+                if v and v.get("basename"):
+                    v = dict(v)
+                    v["basename"] = os.path.join(rel, v["basename"]) \
+                        if rel != "." else v["basename"]
+                    shard[k] = v
+            merged["shards"].append(shard)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "index.json")
+    with open(out, "w") as fh:
+        json.dump(merged, fh)
+    return out
 
 
 def streaming_dataset(remote: str, local: str, clip_size: int = 64,

@@ -156,7 +156,13 @@ class MPCausalConv3d(nn.Module):
                  cache=None, update_cache: bool = False,
                  mode: str = "train", just_2d: bool = False,
                  fused: bool = False, silu_in: bool = False, cvec=None,
-                 fused_interpret: bool = False, packed_hw=None):
+                 fused_interpret: bool = False, packed_hw=None,
+                 out_packed=None, decode_weights: bool = False):
+        # out_packed: None = packed iff the input was packed; True/False
+        # forces the output representation ((B, T, 2, Co, H*W) kernel layout
+        # vs (B, 2T, H, W, Co)). Lets the UNet chain fused modules in packed
+        # space across Block boundaries (the pack/unpack relayouts between
+        # consecutive fused Blocks were pure HBM waste).
         if packed_hw is not None:
             # x is already in the kernel's packed layout
             # (B, T, 2, C, (H+2)*W) -- see ops/fused_conv.py repad_packed;
@@ -169,6 +175,30 @@ class MPCausalConv3d(nn.Module):
         kt, kh, kw = self.kernel
         last_frame_conv = MPConv(self.out_channels, (kh, kw),
                                  quant=self.quant, name="last_frame_conv")
+
+        if decode_weights:
+            # Accessor for the fused eval/decode Block kernel
+            # (ops/fused_conv.fused_decode_block): return this module's
+            # normalized weights + gate so the Block can hand them to one
+            # Pallas call. Param creation matches the regular paths exactly
+            # (same names/shapes under this module's scope); never taken
+            # during init.
+            w2n = last_frame_conv(
+                jnp.zeros((1, 1, 1, cin), x.dtype), return_weight=True)
+            kt_ctx = kt - 1
+            if self.quant:
+                w3_q = self.param("w_q", lambda k: jnp.zeros(
+                    (kt_ctx, kh, kw, cin, self.out_channels), jnp.int8))
+                w3_s = self.param("w_scale", lambda k: jnp.ones(
+                    (self.out_channels,), jnp.float32))
+                w3n = (w3_q.astype(jnp.float32) * w3_s).astype(x.dtype)
+            else:
+                w3r = self.param("w", _randn,
+                                 (kt_ctx, kh, kw, cin, self.out_channels))
+                w3n = mp_weight(w3r).astype(x.dtype)
+            gate, _ = Gating(name="gating")(
+                c_noise, n_context_frames=frames, train=False)
+            return (w2n, w3n, gate), cache
 
         if fused:
             assert not self.quant, "int8 weights are a decode-only path"
@@ -204,7 +234,9 @@ class MPCausalConv3d(nn.Module):
                 cvp = cv.reshape(b, 2, t_total // 2, cin).transpose(0, 2, 1, 3)
             out = fc.fused_gated_conv(xp, w2n, w3n, cvp, gp, h, w, silu_in,
                                       not just_2d, fused_interpret)
-            if packed_hw is not None:
+            if out_packed is None:
+                out_packed = packed_hw is not None
+            if out_packed:
                 return out, cache
             return fc.unpack_out(out, h, w, self.out_channels), cache
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.fused_conv import fused_supported
+from ..ops.fused_conv import decode_fused_supported, fused_supported
 from ..ops.numerics import (bmult, mp_cat, mp_fourier, mp_silu, mp_sum,
                             normalize, resample)
 from .attention import FrameAttention, VideoAttention
@@ -145,7 +145,15 @@ class MPFourier(nn.Module):
 
 
 class Block(nn.Module):
-    """UNet residual block (reference networks_edm2.py:19-94)."""
+    """UNet residual block (reference networks_edm2.py:19-94).
+
+    packed_in/packed_out (static module attrs, set by the UNet's chain
+    planner): the Block takes/returns activations in the fused kernel's
+    packed interchange layout (B, T, 2, C, H*W) instead of (B, 2T, H, W, C),
+    so consecutive fused Blocks -- including skip tensors across the
+    enc/dec boundary -- never pay the pack/unpack relayouts between them.
+    packed_hw carries the true (H, W) when the shape no longer does.
+    """
     out_channels: int
     flavor: str = "enc"
     resample_mode: str = "keep"
@@ -157,6 +165,9 @@ class Block(nn.Module):
     clip_act: Optional[float] = 256.0
     max_frames: int = 64
     quant: bool = False
+    packed_in: bool = False
+    packed_out: bool = False
+    packed_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, c_noise: jax.Array,
@@ -164,11 +175,18 @@ class Block(nn.Module):
                  mode: str = "train", just_2d: bool = False):
         if cache is None:
             cache = {}
-        in_channels = x.shape[-1]
+        if self.packed_in:
+            assert self.resample_mode == "keep" and self.packed_hw
+            in_channels = x.shape[3]
+            h_, w_ = self.packed_hw
+            t_frames = 2 * x.shape[1]
+        else:
+            in_channels = x.shape[-1]
+            x = resample(x, f=(1, 1), mode=self.resample_mode)
+            h_, w_ = x.shape[2:4]
+            t_frames = x.shape[1]
         num_heads = (self.out_channels // self.channels_per_head
                      if self.attention else 0)
-
-        x = resample(x, f=(1, 1), mode=self.resample_mode)
 
         # On TPU in train mode the conv + its preceding elementwise transform
         # (mp_silu, noise-embedding modulation) run as one fused Pallas
@@ -177,11 +195,11 @@ class Block(nn.Module):
         # attention only runs at 8/16) additionally execute the skip conv,
         # pixel norm, residual mp_sum and clip in the kernel's packed layout,
         # so the whole Block touches HBM in dense tiles.
-        use_fused, fi = fused_supported(mode, *x.shape[2:4], x.shape[1],
+        use_fused, fi = fused_supported(mode, h_, w_, t_frames,
                                         cin=max(in_channels,
                                                 self.out_channels),
                                         cout=self.out_channels)
-        # Both fused branches below chain convs in the kernel's PACKED layout
+        # The fused branch chains convs in the kernel's PACKED layout
         # (channels zero-padded to a multiple of 8). Conv params are sized
         # from the packed tensor, and the second conv asserts its input
         # channel count is already a padded multiple -- so the fused path is
@@ -197,25 +215,30 @@ class Block(nn.Module):
         emb_gain = self.param("emb_gain", nn.initializers.zeros, ())
         c = MPConv(self.out_channels, (), quant=self.quant,
                    name="emb_linear")(emb, gain=emb_gain) + 1
-        if (use_fused and self.attention is None and packed_ok
-                and not use_dropout):
+        af_fused = (use_fused and self.attention is None and packed_ok
+                    and not use_dropout)
+        if self.packed_in or self.packed_out:
+            # the UNet's chain planner mirrors this Block's gating; a
+            # mismatch would silently return the wrong layout
+            assert af_fused, (self.name, use_fused, packed_ok, use_dropout)
+        if af_fused:
             from ..ops import fused_conv as fc
-            h_, w_ = x.shape[2:4]
+            xhw = x if self.packed_in else fc.pack_hw(x, h_, w_)
             if self.flavor == "enc":
-                # skip conv + pixel norm BEFORE packing: pack_x's H-pad rows
-                # are exactly zero and normalize's backward at an exactly-
-                # zero vector is NaN (d sqrt(S)/dx = x/sqrt(S) -> 0/0; torch
-                # defines this subgradient as 0, JAX does not) -- in packed
-                # space the NaN lands in conv_skip's weight grad and
-                # clip_by_global_norm then wipes every param to NaN.
                 if in_channels != self.out_channels:
-                    x = MPConv(self.out_channels, (1, 1),
-                               name="conv_skip")(x)
-                x = normalize(x, axis=-1)  # pixel norm over channels
-            xp = fc.pack_x(x, h_, w_)
+                    wsk = MPConv(self.out_channels, (1, 1),
+                                 name="conv_skip")(
+                        jnp.zeros((1, 1, 1, in_channels), xhw.dtype),
+                        return_weight=True)
+                    xhw = jnp.einsum("btscy,cd->btsdy", xhw,
+                                     wsk[0, 0].astype(xhw.dtype))
+                # pixel norm over channels; H-pad rows don't exist in the
+                # HW interchange layout and normalize is zero-safe anyway
+                xhw = normalize(xhw, axis=3)
             yp, c0 = MPCausalConv3d(self.out_channels, (3, 3, 3),
                                     name="conv_res0")(
-                xp, c_noise, frames, cache.get("conv_res0"), update_cache,
+                fc.repad_packed(xhw, h_, w_), c_noise, frames,
+                cache.get("conv_res0"), update_cache,
                 mode, just_2d, fused=True, silu_in=True, fused_interpret=fi,
                 packed_hw=(h_, w_))
             yp, c1 = MPCausalConv3d(self.out_channels, (3, 3, 3),
@@ -224,19 +247,71 @@ class Block(nn.Module):
                 cache.get("conv_res1"), update_cache, mode, just_2d,
                 fused=True, silu_in=True, cvec=c, fused_interpret=fi,
                 packed_hw=(h_, w_))
+            xr = xhw
             if self.flavor == "dec" and in_channels != self.out_channels:
                 wsk = MPConv(self.out_channels, (1, 1), name="conv_skip")(
-                    x[:1, :1, :1], return_weight=True)
-                xp = jnp.einsum("btscy,cd->btsdy", xp,
-                                wsk[0, 0].astype(xp.dtype))
-            # crop the H-padding of the residual to match the conv output
-            xr = xp.reshape(*xp.shape[:4], h_ + 2, w_)[..., 1:-1, :]
-            xr = xr.reshape(*xp.shape[:4], h_ * w_)
+                    jnp.zeros((1, 1, 1, in_channels), xhw.dtype),
+                    return_weight=True)
+                xr = jnp.einsum("btscy,cd->btsdy", xhw,
+                                wsk[0, 0].astype(xhw.dtype))
             xo = mp_sum(xr, yp, t=self.res_balance)
             if self.clip_act is not None:
                 xo = jnp.clip(xo, -self.clip_act, self.clip_act)
-            x = fc.unpack_out(xo, h_, w_, self.out_channels)
-            return x, dict(conv_res0=c0, conv_res1=c1)
+            new_cache = dict(conv_res0=c0, conv_res1=c1)
+            if self.packed_out:
+                return xo, new_cache
+            return fc.unpack_out(xo, h_, w_, self.out_channels), new_cache
+
+        # Fused eval/decode Block (T=1 cached step): the batch-1
+        # autoregressive rollout is kernel-launch-bound, so the whole
+        # attention-free Block -- skip conv, pixel norm, silu, both gated
+        # causal convs reading the 2-frame activation rings, modulation,
+        # residual and clip -- runs as ONE Pallas call
+        # (ops/fused_conv.fused_decode_block).
+        dec_ok, dec_fi = decode_fused_supported(mode, h_, w_, t_frames)
+        cache0, cache1 = cache.get("conv_res0"), cache.get("conv_res1")
+        if (dec_ok and self.attention is None and packed_ok
+                and (just_2d or (cache0 is not None and cache1 is not None))):
+            from ..ops import fused_conv as fc
+            conv0 = MPCausalConv3d(self.out_channels, (3, 3, 3),
+                                   quant=self.quant, name="conv_res0")
+            conv1 = MPCausalConv3d(self.out_channels, (3, 3, 3),
+                                   quant=self.quant, name="conv_res1")
+            c0_in = (self.out_channels if self.flavor == "enc"
+                     else in_channels)
+            (w20, w30, g0), _ = conv0(
+                jnp.zeros((1, 1, 1, 1, c0_in), x.dtype), c_noise, frames,
+                mode=mode, decode_weights=True)
+            (w21, w31, g1), _ = conv1(
+                jnp.zeros((1, 1, 1, 1, self.out_channels), x.dtype),
+                c_noise, frames, mode=mode, decode_weights=True)
+            wsk = None
+            if in_channels != self.out_channels:
+                wsk = MPConv(self.out_channels, (1, 1), quant=self.quant,
+                             name="conv_skip")(
+                    jnp.zeros((1, 1, 1, in_channels), x.dtype),
+                    return_weight=True)[0, 0]
+            if just_2d:
+                ones = jnp.ones((x.shape[0], 2, h_, w_, c0_in), x.dtype)
+                a0 = ones
+                a1 = jnp.ones((x.shape[0], 2, h_, w_, self.out_channels),
+                              x.dtype)
+            else:
+                a0, a1 = cache0["act"], cache1["act"]
+            gates = jnp.stack([g0[:, 0], g1[:, 0]], axis=1)
+            y, t0, t1 = fc.fused_decode_block(
+                x, a0, a1, wsk, w20, w30, w21, w31, c[:, 0], gates,
+                h_, w_, self.flavor, self.res_balance,
+                self.clip_act, not just_2d, dec_fi)
+            if update_cache and not just_2d:
+                nc0 = {"act": jax.lax.stop_gradient(
+                    jnp.concatenate([a0[:, 1:], t0], axis=1))}
+                nc1 = {"act": jax.lax.stop_gradient(
+                    jnp.concatenate([a1[:, 1:], t1], axis=1))}
+            else:
+                nc0, nc1 = cache0, cache1
+            new_cache = dict(conv_res0=nc0, conv_res1=nc1)
+            return y, new_cache
 
         if self.flavor == "enc":
             if in_channels != self.out_channels:
@@ -355,18 +430,63 @@ class UNet(nn.Module):
         BlockMod = (nn.remat(Block, static_argnums=(6, 7, 8))
                     if cfg.remat else Block)
 
+        # --- packed-chain planner (all static): consecutive fused
+        # attention-free modules at the same resolution exchange activations
+        # in the kernel's packed (B, T, 2, C, H*W) layout -- including skip
+        # tensors across the enc/dec boundary -- instead of paying the
+        # pack/unpack relayouts at every Block edge. `packed` tracks the
+        # current representation of x: None = (B, 2T, H, W, C), else (h, w).
+        from ..ops import fused_conv as fc
+        t_frames = x.shape[1]
+
+        def af_fused(spec, cin):
+            """Will Block(spec) take the packed fused attention-free branch?
+            Mirrors the gating inside Block.__call__ exactly."""
+            if spec["kind"] != "block" or spec["attention"] is not None:
+                return False
+            cout = spec["cout"]
+            if cin % 8 or cout % 8:
+                return False
+            if cfg.dropout > 0.0 and mode == "train":
+                return False
+            r = spec["res"]
+            return fused_supported(mode, r, r, t_frames,
+                                   cin=max(cin, cout), cout=cout)[0]
+
+        def accepts_packed(spec):
+            return (spec is not None and af_fused(spec, spec["cin"])
+                    and spec["resample"] == "keep")
+
+        def unpack(v, meta, channels):
+            return fc.unpack_out(v, meta[0], meta[1], channels)
+
+        packed = None  # None or (h, w)
         enc_cache, dec_cache = {}, {}
-        for name, spec in blocks["enc"]:
+        enc_list, dec_list = blocks["enc"], blocks["dec"]
+        for i, (name, spec) in enumerate(enc_list):
             sub = cache.get("enc", {}).get(name)
+            res = spec["res"]
+            nxt = (enc_list[i + 1][1] if i + 1 < len(enc_list)
+                   else dec_list[0][1])
+            nxt_in_chain = (nxt["res"] == res and accepts_packed(nxt))
             if spec["kind"] == "conv":
-                uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1],
+                uf, fi = fused_supported(mode, res, res, t_frames,
                                          cin=x.shape[-1], cout=spec["cout"])
+                emit = uf and nxt_in_chain and spec["cout"] % 8 == 0
                 x, c = MPCausalConv3d(spec["cout"], (3, 3, 3),
                                       quant=cfg.decode_quant,
                                       name=f"enc_{name}")(
                     x, c_noise, frames, sub, update_cache, mode, just_2d,
-                    fused=uf, fused_interpret=fi)
+                    fused=uf, fused_interpret=fi,
+                    out_packed=True if emit else None)
+                packed = (res, res) if emit else None
             else:
+                this_af = af_fused(spec, spec["cin"])
+                p_in = (packed == (res, res) and this_af
+                        and spec["resample"] == "keep")
+                if packed is not None and not p_in:
+                    x = unpack(x, packed, spec["cin"])
+                    packed = None
                 x, c = BlockMod(spec["cout"], flavor="enc",
                              resample_mode=spec["resample"],
                              attention=spec["attention"],
@@ -375,14 +495,42 @@ class UNet(nn.Module):
                              attn_balance=cfg.attn_balance,
                              clip_act=cfg.clip_act, max_frames=cfg.max_frames,
                              quant=cfg.decode_quant,
+                             packed_in=p_in, packed_out=this_af,
+                             packed_hw=(res, res) if this_af else None,
                              name=f"enc_{name}")(
                     x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
+                packed = (res, res) if this_af else None
             enc_cache[name] = c
-            skips.append(x)
+            # the skip keeps x's current representation; the dec consumer
+            # unpacks lazily if its own chain is broken there
+            skips.append((x, packed, spec["cout"]))
+            if packed is not None and not nxt_in_chain:
+                # next module needs the spatial layout (resample/attention/
+                # unfused); the skip above stays packed for the dec side
+                x = unpack(x, packed, spec["cout"])
+                packed = None
 
-        for name, spec in blocks["dec"]:
+        for i, (name, spec) in enumerate(dec_list):
+            res = spec["res"]
+            this_af = af_fused(spec, spec["cin"])
+            p_in = (this_af and spec["resample"] == "keep")
             if "block" in name:
-                x = mp_cat(x, skips.pop(), t=cfg.concat_balance)
+                skip, skip_meta, skip_ch = skips.pop()
+                if p_in and packed == (res, res) and skip_meta == (res, res):
+                    x = mp_cat(x, skip, axis=3, t=cfg.concat_balance)
+                else:
+                    if packed is not None:
+                        x = unpack(x, packed, x.shape[3])
+                        packed = None
+                    if skip_meta is not None:
+                        skip = unpack(skip, skip_meta, skip_ch)
+                    x = mp_cat(x, skip, t=cfg.concat_balance)
+                    p_in = False
+            else:
+                if packed is not None and not (p_in and packed == (res, res)):
+                    x = unpack(x, packed, x.shape[3])
+                    packed = None
+                p_in = p_in and packed == (res, res)
             sub = cache.get("dec", {}).get(name)
             x, c = BlockMod(spec["cout"], flavor="dec",
                          resample_mode=spec["resample"],
@@ -392,16 +540,27 @@ class UNet(nn.Module):
                          attn_balance=cfg.attn_balance,
                          clip_act=cfg.clip_act, max_frames=cfg.max_frames,
                          quant=cfg.decode_quant,
+                         packed_in=p_in, packed_out=this_af,
+                         packed_hw=(res, res) if this_af else None,
                          name=f"dec_{name}")(
                 x, emb, c_noise, frames, sub, update_cache, mode, just_2d)
+            packed = (res, res) if this_af else None
             dec_cache[name] = c
 
-        uf, fi = fused_supported(mode, *x.shape[2:4], x.shape[1],
-                                 cin=x.shape[-1], cout=cfg.img_channels)
+        res = cfg.img_resolution
+        uf, fi = fused_supported(mode, res, res, t_frames,
+                                 cin=(x.shape[3] if packed else x.shape[-1]),
+                                 cout=cfg.img_channels)
+        if packed is not None and not uf:
+            x = unpack(x, packed, x.shape[3])
+            packed = None
+        if packed is not None:
+            x = fc.repad_packed(x, res, res)
         x, out_c = MPCausalConv3d(cfg.img_channels, (3, 3, 3),
                               quant=cfg.decode_quant, name="out_conv")(
             x, c_noise, frames, cache.get("out_conv"), update_cache, mode,
-            just_2d, fused=uf, fused_interpret=fi)
+            just_2d, fused=uf, fused_interpret=fi,
+            packed_hw=(res, res) if packed else None, out_packed=False)
         x = x * out_gain
 
         new_cache.update(enc=enc_cache, dec=dec_cache, out_conv=out_c)

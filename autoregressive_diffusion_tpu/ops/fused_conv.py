@@ -89,6 +89,21 @@ def unpack_out(o: jax.Array, h: int, w: int, co: int) -> jax.Array:
     return o.reshape(b, 2 * t, h, w, cop)[..., :co]
 
 
+def pack_hw(x: jax.Array, h: int, w: int) -> jax.Array:
+    """(B, 2T, H, W, C) -> (B, T, 2, Cp, H*W): the kernel OUTPUT layout.
+
+    The packed interchange format between chained fused Blocks: no H-pad
+    rows (those are re-inserted per conv by repad_packed), channels
+    zero-padded to a multiple of 8. Inverse of unpack_out."""
+    b, t2 = x.shape[:2]
+    c = x.shape[-1]
+    t = t2 // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, _cpad(c) - c)))
+    xp = xp.reshape(b, 2, t, h, w, -1)
+    xp = xp.transpose(0, 2, 1, 5, 3, 4)
+    return xp.reshape(b, t, 2, xp.shape[3], h * w)
+
+
 def repad_packed(o: jax.Array, h: int, w: int) -> jax.Array:
     """Chain two fused convs without leaving packed space:
     (B, T, 2, Co, H*W) kernel output -> (B, T, 2, Co, (H+2)*W) kernel input.
@@ -191,6 +206,23 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
         return True, True
     on_tpu = jax.default_backend() in ("tpu", "axon")
     return on_tpu, False
+
+
+def decode_fused_supported(mode: str, h: int, w: int, t_frames: int):
+    """Gate for the fused eval/decode Block path (fused_decode_block).
+
+    Env AD_TPU_FUSED_DECODE: '0' disables, 'interpret' forces interpreter
+    mode (CPU tests), unset/'1' enables on TPU. Applies only to the T=1
+    cached-decode step -- prefill and train have their own paths."""
+    import os
+    env = os.environ.get("AD_TPU_FUSED_DECODE", "")
+    if env == "0":
+        return False, False
+    if mode != "eval" or t_frames != 1 or (h * w) % 128:
+        return False, False
+    if env == "interpret":
+        return True, True
+    return jax.default_backend() in ("tpu", "axon"), False
 
 
 def _make_masks(c_rows: int, l: int, w: int):
@@ -890,3 +922,174 @@ def fused_gated_conv_reference(xp, w2, w3, cvec, gates, h, w,
     s = jax.lax.rsqrt((1 - g) ** 2 + g ** 2)
     out = (y2d + (ctx[:, :, None] - y2d) * g) * s
     return out.astype(xp.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel: one program per batch row fuses an ENTIRE attention-free
+# Block for the T=1 cached-decode step -- skip conv, pixel norm (enc),
+# silu transform, BOTH gated causal convs (context read from the 2-frame
+# activation ring caches), the noise-embedding modulation between them,
+# the residual mp_sum and the activation clip. The batch-1 autoregressive
+# rollout is kernel-launch-bound (hundreds of tiny HLOs per NFE); this
+# collapses ~10+ device ops per Block into one.
+#
+# Cache semantics match the XLA eval path exactly (models/layers.py
+# MPCausalConv3d eval): each conv's cache holds the last kt-1=2 TRANSFORMED
+# input frames; frame index 0 is t-2 (pairs with w3[0]), index 1 is t-1.
+# The kernel also emits this step's transformed inputs t0/t1 so the caller
+# can advance the rings on update_cache steps.
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(xq, a0q, a1q, wskq, w20q, w30aq, w30bq, w21q, w31aq,
+                   w31bq, cvq, gates, o, t0o, t1o, s_scr, wide_scr, *,
+                   w: int, hw: int, c0: int, co: int, flavor: str,
+                   has_skip: bool, with_ctx: bool, res_t: float,
+                   clip: float, mm_dtype):
+    l = xq.shape[-1]
+    masks = {c0: _make_masks(c0, hw, w)}
+    if co not in masks:
+        masks[co] = _make_masks(co, hw, w)
+
+    def stack_dot(frame_cl, wt, c_rows):
+        """stack 9 shifted taps of (C, L) into scratch rows, then (Co, HW)."""
+        _stack_into(s_scr, 0, frame_cl, w, hw, masks[c_rows])
+        return _dot_kc(wt[...].astype(mm_dtype),
+                       s_scr[:9 * c_rows, :].astype(mm_dtype))
+
+    x = xq[0].astype(F32)
+    if flavor == "enc":
+        h = _dot_kc(wskq[...].astype(F32), x) if has_skip else x
+        # pixel norm over channels (ops/numerics.normalize, axis=channel)
+        n = jnp.sqrt(jnp.sum(h * h, axis=0, keepdims=True) + 1e-24)
+        h = h / (1e-4 + n * (c0 ** -0.5))
+        res = h
+    else:
+        h = x
+        res = _dot_kc(wskq[...].astype(F32), x) if has_skip else x
+
+    g0 = gates[0, 0]
+    g1 = gates[0, 1]
+    t0 = _silu_f32(h)                                   # (C0, L)
+    y = stack_dot(t0, w20q, c0)                         # (Co, HW)
+    if with_ctx:
+        ctx0 = (stack_dot(a0q[0, 0].astype(F32), w30aq, c0)
+                + stack_dot(a0q[0, 1].astype(F32), w30bq, c0))
+        y = _blend(y, ctx0, g0)
+
+    cv = cvq[0].astype(F32)                             # (Co,)
+    t1 = _silu_f32(y * cv[:, None])                     # (Co, HW)
+    # widen to (Co, L): zero H-pad rows so the tap rolls stay correct
+    wide_scr[...] = jnp.zeros(wide_scr.shape, F32)
+    wide_scr[:, w:w + hw] = t1
+    y = stack_dot(wide_scr[...], w21q, co)
+    if with_ctx:
+        ctx1 = (stack_dot(a1q[0, 0].astype(F32), w31aq, co)
+                + stack_dot(a1q[0, 1].astype(F32), w31bq, co))
+        y = _blend(y, ctx1, g1)
+
+    out = _blend_const(res[:, w:w + hw], y, res_t)
+    if clip is not None:
+        out = jnp.clip(out, -clip, clip)
+    o[0] = out.astype(o.dtype)
+    t0o[0] = t0[:, w:w + hw].astype(t0o.dtype)
+    t1o[0] = t1.astype(t1o.dtype)
+
+
+def _blend_const(a, b, t: float):
+    """mp_sum with a static t (reference edm2/utils.py:118-123)."""
+    s = ((1 - t) ** 2 + t ** 2) ** -0.5
+    return (a + (b - a) * t) * s
+
+
+def fused_decode_block(x, a0, a1, wsk, w20, w30, w21, w31, cv, gates, h, w,
+                       flavor, res_t, clip, with_ctx, interpret=False):
+    """Fused eval/decode Block step (T=1).
+
+    x:    (B, 1, H, W, Cin) raw Block input (post-resample)
+    a0:   (B, 2, H, W, C0) conv_res0 activation cache (transformed frames
+          t-2, t-1); C0 = out-channels for enc flavor, Cin for dec
+    a1:   (B, 2, H, W, Co) conv_res1 activation cache
+    wsk:  (Cin, Co) 1x1 skip weight or None
+    w20/w21: (3, 3, Cin0/Co, Co) normalized 2D weights
+    w30/w31: (2, 3, 3, Cin0/Co, Co) context weights (dt 0 = frame t-2)
+    cv:   (B, Co) noise-embedding modulation for conv_res1 (y*c)
+    gates: (B, 2) f32 [conv0 gate, conv1 gate]
+    Returns (y (B, 1, H, W, Co), t0 (B, 1, H, W, C0), t1 (B, 1, H, W, Co)):
+    the Block output and this step's transformed conv inputs for the
+    caller's cache-ring update.
+    """
+    b = x.shape[0]
+    c_in = x.shape[-1]
+    c0 = w20.shape[-2]
+    co = w20.shape[-1]
+    assert c_in % 8 == 0 and c0 % 8 == 0 and co % 8 == 0, (c_in, c0, co)
+    hw = h * w
+    l = (h + 2) * w
+
+    def pack1(v, c):  # (B, T, H, W, C) -> (B, T, C, L) with H padding
+        t = v.shape[1]
+        vp = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+        vp = vp.transpose(0, 1, 4, 2, 3)
+        return vp.reshape(b, t, c, l)
+
+    xq = pack1(x, c_in).reshape(b, c_in, l)
+    a0q = (pack1(a0, c0) if with_ctx
+           else jnp.zeros((b, 2, c0, l), x.dtype))
+    a1q = (pack1(a1, co) if with_ctx
+           else jnp.zeros((b, 2, co, l), x.dtype))
+    wskq = (wsk if wsk is not None
+            else jnp.zeros((c_in, co), x.dtype)).astype(x.dtype)
+    w20q = _pack_w(w20)
+    w21q = _pack_w(w21)
+    if with_ctx:
+        w30q, w31q = _pack_w(w30), _pack_w(w31)
+    else:
+        w30q = jnp.zeros((18 * c0, co), x.dtype)
+        w31q = jnp.zeros((18 * co, co), x.dtype)
+    w30a, w30b = w30q[:9 * c0], w30q[9 * c0:]
+    w31a, w31b = w31q[:9 * co], w31q[9 * co:]
+
+    vm = pltpu.VMEM
+    cmax = max(c0, co)
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else F32
+    kernel = functools.partial(
+        _decode_kernel, w=w, hw=hw, c0=c0, co=co, flavor=flavor,
+        has_skip=wsk is not None, with_ctx=with_ctx, res_t=res_t, clip=clip,
+        mm_dtype=mm_dtype)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, _nd=nd: (i,) + (0,) * _nd,
+                            memory_space=vm)
+
+    wspec = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                   memory_space=vm)
+    o, t0, t1 = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[bspec((c_in, l)), bspec((2, c0, l)), bspec((2, co, l)),
+                  wspec((c_in, co)), wspec((9 * c0, co)),
+                  wspec((9 * c0, co)), wspec((9 * c0, co)),
+                  wspec((9 * co, co)), wspec((9 * co, co)),
+                  wspec((9 * co, co)), bspec((co,)),
+                  pl.BlockSpec((1, 2), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=[bspec((co, hw)), bspec((c0, hw)), bspec((co, hw))],
+        out_shape=[jax.ShapeDtypeStruct((b, co, hw), x.dtype),
+                   jax.ShapeDtypeStruct((b, c0, hw), x.dtype),
+                   jax.ShapeDtypeStruct((b, co, hw), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((9 * cmax, hw), F32),
+                        pltpu.VMEM((co, l), F32)],
+        compiler_params=_vmem_params(
+            (c_in + 4 * cmax) * l * 2, 8 * 27 * cmax * cmax * 2,
+            9 * cmax * hw * 4, co * l * 4, 3 * cmax * hw * 2),
+        interpret=interpret,
+    )(xq, a0q, a1q, wskq, w20q,
+      w30a, w30b, w21q, w31a, w31b, cv.astype(x.dtype),
+      gates.astype(F32))
+
+    def unpack1(v, c):  # (B, C, HW) -> (B, 1, H, W, C)
+        return v.reshape(b, c, h, w).transpose(0, 2, 3, 1)[:, None]
+
+    return unpack1(o, co), unpack1(t0, c0), unpack1(t1, co)

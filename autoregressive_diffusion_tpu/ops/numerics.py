@@ -33,7 +33,14 @@ def normalize(x: jax.Array, axis=None, eps: float = 1e-4) -> jax.Array:
     elif isinstance(axis, int):
         axis = (axis,)
     x32 = x.astype(jnp.float32)
-    n = jnp.sqrt(jnp.sum(x32 * x32, axis=axis, keepdims=True))
+    # The 1e-24 inside the sqrt changes the norm by O(1e-24/norm) --
+    # invisible at fp32 -- but makes the backward well-defined at an
+    # exactly-zero vector (d sqrt(S)/dS at S=0 is inf, and the chain rule's
+    # 0*inf is NaN; torch defines this subgradient as 0, JAX does not).
+    # Zero vectors occur legitimately: the packed layout's H-padding rows
+    # (ops/fused_conv.pack_x) are exactly zero, and pixel-norm in packed
+    # space runs over them.
+    n = jnp.sqrt(jnp.sum(x32 * x32, axis=axis, keepdims=True) + 1e-24)
     reduced = 1
     for a in axis:
         reduced *= x.shape[a]

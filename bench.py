@@ -256,20 +256,28 @@ def cs(compare_fused: bool = False):
 
     unit = f"samples/s (ms/step: {dt_fused/g*1e3:.1f})"
     if compare_fused:
+        # comparison leg is best-effort: a failure here (e.g. transient
+        # runtime error rebuilding the 5.8 GiB state) must not lose the
+        # primary metric line
         prev = os.environ.get("AD_TPU_FUSED_CONV")
         os.environ["AD_TPU_FUSED_CONV"] = "0"
         jax.clear_caches()
-        dt_xla = measure()
-        if prev is None:
-            del os.environ["AD_TPU_FUSED_CONV"]
-        else:
-            os.environ["AD_TPU_FUSED_CONV"] = prev
-        ratio = dt_xla / dt_fused
-        print(f"# CS fused-conv kernel vs XLA convs: {dt_fused/g*1e3:.1f} "
-              f"vs {dt_xla/g*1e3:.1f} ms/step -> {ratio:.2f}x",
-              file=sys.stderr)
-        unit = (f"samples/s (fused {dt_fused/g*1e3:.1f} ms/step, "
-                f"XLA {dt_xla/g*1e3:.1f}, fused {ratio:.2f}x)")
+        try:
+            dt_xla = measure()
+            ratio = dt_xla / dt_fused
+            print(f"# CS fused-conv kernel vs XLA convs: "
+                  f"{dt_fused/g*1e3:.1f} vs {dt_xla/g*1e3:.1f} ms/step "
+                  f"-> {ratio:.2f}x", file=sys.stderr)
+            unit = (f"samples/s (default {dt_fused/g*1e3:.1f} ms/step, "
+                    f"all-XLA {dt_xla/g*1e3:.1f}, {ratio:.2f}x)")
+        except Exception as e:  # pragma: no cover - hardware-specific
+            print(f"# CS all-XLA comparison failed: {type(e).__name__}",
+                  file=sys.stderr)
+        finally:
+            if prev is None:
+                del os.environ["AD_TPU_FUSED_CONV"]
+            else:
+                os.environ["AD_TPU_FUSED_CONV"] = prev
 
     samples_per_sec = b * g / dt_fused
     print(json.dumps({

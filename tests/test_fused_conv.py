@@ -254,3 +254,133 @@ def test_vmem_gate_and_block_picker():
             os.environ.pop("AD_TPU_FUSED_CONV", None)
         else:
             os.environ["AD_TPU_FUSED_CONV"] = prev
+
+
+@pytest.mark.parametrize("flavor,has_skip,with_ctx",
+                         [("enc", True, True), ("enc", False, True),
+                          ("dec", True, True), ("dec", False, False)])
+def test_decode_block_kernel_matches_oracle(flavor, has_skip, with_ctx):
+    """fused_decode_block (interpret) vs a plain-jnp oracle of the eval
+    Block step: skip conv, pixel norm (enc), silu, both gated causal convs
+    against 2-frame caches, modulation, residual mp_sum, clip."""
+    import math
+
+    from autoregressive_diffusion_tpu.ops.numerics import normalize
+
+    rng = np.random.default_rng(3)
+    b, h, w = 2, 8, 16
+    cin = 24 if has_skip else 16
+    co = 16
+    c0 = co if flavor == "enc" else cin
+    f32 = np.float32
+
+    x = jnp.asarray(rng.normal(size=(b, 1, h, w, cin)), jnp.float32)
+    a0 = jnp.asarray(rng.normal(size=(b, 2, h, w, c0)), jnp.float32)
+    a1 = jnp.asarray(rng.normal(size=(b, 2, h, w, co)), jnp.float32)
+    wsk = (jnp.asarray(rng.normal(size=(cin, co)), jnp.float32) * 0.2
+           if has_skip else None)
+    w20 = jnp.asarray(rng.normal(size=(3, 3, c0, co)), jnp.float32) * 0.1
+    w30 = jnp.asarray(rng.normal(size=(2, 3, 3, c0, co)), jnp.float32) * 0.1
+    w21 = jnp.asarray(rng.normal(size=(3, 3, co, co)), jnp.float32) * 0.1
+    w31 = jnp.asarray(rng.normal(size=(2, 3, 3, co, co)), jnp.float32) * 0.1
+    cv = jnp.asarray(rng.normal(size=(b, co)), jnp.float32) * 0.5 + 1.0
+    gates = jnp.asarray(rng.uniform(0.1, 0.9, size=(b, 2)), jnp.float32)
+    res_t, clip = 0.3, 256.0
+
+    def silu(v):
+        return jax.nn.silu(v) / 0.596
+
+    def conv2d(v, wk):  # (B, T, H, W, C) same-padded
+        b_, t = v.shape[:2]
+        v4 = v.reshape((-1,) + v.shape[2:])
+        y = jax.lax.conv_general_dilated(
+            v4, wk, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y.reshape((b_, t) + y.shape[1:])
+
+    def ctx_conv(cache, wk):  # conv3d over exactly the 2 cached frames
+        y = jax.lax.conv_general_dilated(
+            cache, wk, (1, 1, 1), [(0, 0), (1, 1), (1, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y  # (B, 1, H, W, Co)
+
+    def blend(a, bb, g):
+        g = g[:, None, None, None, None]
+        return (a + (bb - a) * g) * jax.lax.rsqrt((1 - g) ** 2 + g ** 2)
+
+    # oracle
+    if flavor == "enc":
+        hx = jnp.einsum("bthwc,cd->bthwd", x, wsk) if has_skip else x
+        hx = normalize(hx, axis=-1)
+        res = hx
+    else:
+        hx = x
+        res = jnp.einsum("bthwc,cd->bthwd", x, wsk) if has_skip else x
+    t0 = silu(hx)
+    y = conv2d(t0, w20)
+    if with_ctx:
+        y = blend(y, ctx_conv(a0, w30), gates[:, 0])
+    t1 = silu(y * cv[:, None, None, None, :])
+    y = conv2d(t1, w21)
+    if with_ctx:
+        y = blend(y, ctx_conv(a1, w31), gates[:, 1])
+    s = 1.0 / math.sqrt((1 - res_t) ** 2 + res_t ** 2)
+    want = jnp.clip((res + (y - res) * res_t) * s, -clip, clip)
+
+    got, t0k, t1k = fc.fused_decode_block(
+        x, a0, a1, wsk, w20, w30, w21, w31, cv, gates, h, w, flavor,
+        res_t, clip, with_ctx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t0k), np.asarray(t0),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t1k), np.asarray(t1),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_fused_decode_precond_matches_xla_path():
+    """Full Precond: prefill on the XLA path, then one cached decode step
+    with the fused decode-Block kernel (interpret) vs the XLA eval path --
+    outputs AND advanced conv caches must match."""
+    from functools import partial
+
+    from autoregressive_diffusion_tpu.models import Precond, UNetConfig
+    from autoregressive_diffusion_tpu.models.cache import init_cache
+
+    cfg = UNetConfig(img_resolution=16, img_channels=4, model_channels=16,
+                     channel_mult=(1, 2), num_blocks=1,
+                     video_attn_resolutions=(4,), frame_attn_resolutions=(8,),
+                     max_frames=8)
+    model = Precond(cfg, sigma_data=1.0)
+    b, t = 2, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t + 1, 16, 16, 4))
+    sig = jnp.full((b, t + 1), 0.3)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.concatenate([x, x], 1),
+                           jnp.concatenate([sig, sig], 1), mode="train")
+    apply_ev = partial(model.apply, mode="eval", update_cache=True)
+
+    def decode_step(env_val):
+        prev = os.environ.get("AD_TPU_FUSED_DECODE")
+        os.environ["AD_TPU_FUSED_DECODE"] = env_val
+        try:
+            cache = init_cache(model, variables, batch_size=b)
+            _, cache = apply_ev(variables, x[:, :t], sig[:, :t], cache=cache)
+            y, cache2 = apply_ev(variables, x[:, t:], sig[:, t:],
+                                 cache=cache)
+            y2, _ = model.apply(variables, x[:, t:], sig[:, t:],
+                                mode="eval", just_2d=True)
+            return y, y2, cache2
+        finally:
+            if prev is None:
+                os.environ.pop("AD_TPU_FUSED_DECODE", None)
+            else:
+                os.environ["AD_TPU_FUSED_DECODE"] = prev
+
+    y_r, y2_r, cache_r = decode_step("0")
+    y_f, y2_f, cache_f = decode_step("interpret")
+    assert np.abs(np.asarray(y_f) - np.asarray(y_r)).max() < 3e-4
+    assert np.abs(np.asarray(y2_f) - np.asarray(y2_r)).max() < 3e-4
+    for a, b_ in zip(jax.tree.leaves(cache_r), jax.tree.leaves(cache_f)):
+        assert np.abs(np.asarray(a, np.float64)
+                      - np.asarray(b_, np.float64)).max() < 3e-4

@@ -231,3 +231,34 @@ def test_device_replay_ring_and_sampling():
     rep2.ingest()
     assert rep2.exhausted() and not rep2.ready()
     rep2.stop()
+
+
+def test_merge_shard_index_pure_json(tmp_path):
+    """merge_shard_index without the `streaming` library: the MDS v2 index
+    merge (reference index_fusion.py:37-44) is pure JSON -- shard entries
+    concatenate with file basenames rewritten relative to the merged root."""
+    import json
+
+    from autoregressive_diffusion_tpu.data.cs_data import merge_shard_index
+
+    def mk(d, basename, samples):
+        d.mkdir(parents=True)
+        idx = {"version": 2, "shards": [{
+            "column_names": ["latents"], "samples": samples,
+            "raw_data": {"basename": basename, "bytes": 123, "hashes": {}},
+            "zip_data": None, "format": "mds",
+        }]}
+        (d / "index.json").write_text(json.dumps(idx))
+
+    root = tmp_path / "merged"
+    root.mkdir()
+    mk(root / "w0", "shard.00000.mds", 10)
+    mk(root / "w1", "shard.00000.mds", 7)
+    out = merge_shard_index(str(root), [str(root / "w0"), str(root / "w1")])
+    merged = json.loads(open(out).read())
+    assert merged["version"] == 2 and len(merged["shards"]) == 2
+    names = [s["raw_data"]["basename"] for s in merged["shards"]]
+    assert names == ["w0/shard.00000.mds", "w1/shard.00000.mds"]
+    assert sum(s["samples"] for s in merged["shards"]) == 17
+    # untouched fields survive
+    assert merged["shards"][0]["column_names"] == ["latents"]

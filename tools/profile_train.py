@@ -24,13 +24,16 @@ step = jax.jit(make_scanned_train_step(model, EDM2LossConfig(
     batch_size=b), static_argnames=("just_2d",))
 images = jax.random.normal(jax.random.PRNGKey(1), (g, b, t, 64, 64, 8))
 cond = jnp.zeros((g, b, t), jnp.int32)
+print("# compiling + warm step...", flush=True)
 state, metrics = step(state, images, cond, jax.random.PRNGKey(0))
 float(metrics["loss"])
+print("# warm step done; tracing...", flush=True)
 
 logdir = "/tmp/jax-trace-train"
 with trace(logdir):
     state, metrics = step(state, images, cond, jax.random.PRNGKey(1))
     float(metrics["loss"])
+print("# trace captured; parsing...", flush=True)
 
 tot = 0.0
 rows = top_ops(logdir, n=40)
