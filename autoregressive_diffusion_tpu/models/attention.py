@@ -33,7 +33,7 @@ from ..ops.flash_attention import (causal_frame_attention, dart_attention,
                                    sp_flash_supported)
 from ..ops.numerics import mp_sum, normalize
 from ..ops.masks import train_frame_mask, expand_to_tokens
-from ..ops.rope import rope_qk
+from ..ops.rope import apply_rope, rope_qk, rope_tables
 from .layers import MPConv
 
 
@@ -148,6 +148,44 @@ class VideoAttention(nn.Module):
         frame-causally."""
         q_pos = frames + jnp.arange(t)
         center = (frames + t) // 2
+        if cache is not None and t == 1:
+            # Decode fast path. Inside the sampler's lax.scan over diffusion
+            # steps the cache is LOOP-INVARIANT (it only advances outside
+            # the scan), so dequantizing + roping the cached K/V as a pure
+            # function of the cache lets XLA hoist that work out of the
+            # 2-NFE-per-step loop -- the old path rebuilt
+            # (dynamic_update_slice) and re-roped the full buffer every
+            # denoiser call. The xPos center moves to 0 here: it cancels
+            # exactly in q.k^T (see ops/rope.py docstring), so outputs are
+            # invariant to it.
+            f = cache["k"].shape[2]
+            c = q.shape[-1]
+            kc = _dequant_kv(cache["k"], k.dtype)
+            vc = _dequant_kv(cache["v"], v.dtype)
+            cos_k, sin_k, scale_k = rope_tables(c, jnp.arange(f), 0)
+            kc = apply_rope(kc, cos_k, sin_k, 1.0 / scale_k)
+            qr, kfr = rope_qk(q, k, q_pos, q_pos, center=0)
+            scale = 1.0 / np.sqrt(c)
+            # two-dot masked joint softmax: cached keys (hoisted) + the
+            # fresh frame's keys (attends to itself, reference :69-70)
+            lc = jnp.einsum("bmqc,bmfyc->bmqfy", qr[:, :, 0], kc,
+                            preferred_element_type=jnp.float32) * scale
+            lc = lc.reshape(b, self.num_heads, hw, f * hw)
+            valid = jnp.broadcast_to((jnp.arange(f) < frames)[:, None],
+                                     (f, hw)).reshape(1, 1, 1, f * hw)
+            lc = jnp.where(valid, lc, jnp.float32(-jnp.inf))
+            lf = jnp.einsum("bmqc,bmyc->bmqy", qr[:, :, 0], kfr[:, :, 0],
+                            preferred_element_type=jnp.float32) * scale
+            wts = jax.nn.softmax(jnp.concatenate([lc, lf], axis=-1), axis=-1)
+            wts = wts.astype(v.dtype)
+            o = jnp.einsum("bmqfy,bmfyc->bmqc",
+                           wts[..., :f * hw].reshape(
+                               b, self.num_heads, hw, f, hw), vc,
+                           preferred_element_type=jnp.float32)
+            o = o + jnp.einsum("bmqy,bmyc->bmqc", wts[..., f * hw:],
+                               v[:, :, 0],
+                               preferred_element_type=jnp.float32)
+            return o.astype(v.dtype).reshape(b, self.num_heads, t, hw, -1)
         if cache is None:
             k_pos = q_pos
             kk, vv = k, v
