@@ -122,11 +122,14 @@ def main():
         all_gt_std.append(gt_np.std(axis=(0, 2, 3, 4)))
         px_gen = np.asarray(decode(gen_lat))
         px_gt = np.asarray(decode(gt))
-        all_pmse.append(
+        per_px_frame = (
             ((px_gen.astype(np.float32) - px_gt.astype(np.float32)) ** 2)
             .mean(axis=(0, 2, 3, 4)) / 255.0 ** 2)
+        # decoded video has time_compression x the latent frame count;
+        # aggregate per latent frame so every curve shares one x axis
+        all_pmse.append(per_px_frame.reshape(args.frames, -1).mean(axis=1))
         if strips is None:  # first episode: save a visual strip
-            sel = np.linspace(0, args.frames - 1, 8).astype(int)
+            sel = np.linspace(0, px_gen.shape[1] - 1, 8).astype(int)
             strips = (px_gen[0][sel], px_gt[0][sel])
         print(f"# episode {ep}: latent MSE frame0={all_mse[-1][0]:.4f} "
               f"frame{args.frames-1}={all_mse[-1][-1]:.4f}", flush=True)
