@@ -211,12 +211,20 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
 def decode_fused_supported(mode: str, h: int, w: int, t_frames: int):
     """Gate for the fused eval/decode Block path (fused_decode_block).
 
-    Env AD_TPU_FUSED_DECODE: '0' disables, 'interpret' forces interpreter
-    mode (CPU tests), unset/'1' enables on TPU. Applies only to the T=1
-    cached-decode step -- prefill and train have their own paths."""
+    OFF by default: measured on the chip (64-step rollout bench, int8
+    weights), the one-program-per-Block kernel runs the rollout at 11.2
+    frames/s vs 15.3 frames/s for the XLA decode path -- at T=1 XLA's own
+    fusion already covers the elementwise chain, and the kernel's packed
+    relayouts + VPU tap rolls cost more than the launch overhead they
+    save. Kept (oracle-tested) for environments where launch overhead
+    dominates differently.
+
+    Env AD_TPU_FUSED_DECODE: '1' enables on TPU, 'interpret' forces
+    interpreter mode (CPU tests), unset/'0' disables. Applies only to the
+    T=1 cached-decode step -- prefill and train have their own paths."""
     import os
     env = os.environ.get("AD_TPU_FUSED_DECODE", "")
-    if env == "0":
+    if env not in ("1", "interpret"):
         return False, False
     if mode != "eval" or t_frames != 1 or (h * w) % 128:
         return False, False

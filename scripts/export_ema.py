@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--ema", type=int, default=0,
                     help="EMA index (0 = std 0.050, 1 = std 0.100)")
     ap.add_argument("--out", default=None, help="output dir (default: ckpt dir)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16", "float16"),
+                    help="param dtype in the written bundle (bfloat16 halves "
+                         "the file; the UNet body runs bf16 anyway and EDM2 "
+                         "weights are forced-normalized, so eval quality is "
+                         "unaffected)")
     args = ap.parse_args()
 
     import jax
@@ -57,10 +63,13 @@ def main():
     std = state.ema_stds[args.ema]
     out_dir = args.out or args.ckpt_dir
     n = sum(p.size for p in jax.tree.leaves(state.ema[args.ema]))
+    dt = jnp.dtype(args.dtype)
+    suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
     path = os.path.join(
-        out_dir, f"unet_{n // 10**6}M_ema{std:.3f}_step{step}.ad")
+        out_dir, f"unet_{n // 10**6}M_ema{std:.3f}_step{step}{suffix}.ad")
     save_model(path, dict(kwargs),
-               {"params": jax.device_get(state.ema[args.ema]),
+               {"params": jax.tree.map(lambda p: jax.device_get(p).astype(dt),
+                                       state.ema[args.ema]),
                 "buffers": jax.device_get(state.buffers)})
     print(f"# wrote {path} (EMA std {std}, step {step})")
 
