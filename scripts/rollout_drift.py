@@ -26,6 +26,73 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
+def collect_long_episode(env_name, n_pixel_frames, tc, seed_start,
+                         frame_size=256, warmup=10, max_probe=2000):
+    """Return (frames [n_pixel_frames,S,S,3] uint8, actions [n_latent] int64,
+    next_seed) from ONE uninterrupted episode of >= warmup + 2*n_pixel_frames
+    env steps.
+
+    Random-action LunarLander episodes average ~92 steps (never reaching the
+    ~300 this tool needs), so actions come from gymnasium's built-in heuristic
+    controller, held constant for tc*frame_interval env steps to match the
+    training conditioning structure (one action per latent frame,
+    data/gym_data.py). Survival at that hold rate is ~5%, so episodes are
+    first probed WITHOUT rendering (Box2D physics is deterministic given the
+    reset seed + action sequence, ~100x cheaper than rgb_array rendering) and
+    only a surviving seed is replayed with rendering."""
+    import gymnasium as gym
+    from gymnasium.envs.box2d.lunar_lander import heuristic
+
+    from autoregressive_diffusion_tpu.data.gym_data import resize_frame
+
+    frame_interval = 2
+    hold = tc * frame_interval  # env steps per latent frame
+    # step counter runs -warmup..need_steps like the reference's
+    # step_count (gym_dataloader.py:40-92): capture at n>=0, n%2==0;
+    # action resampled when n % hold == 0 (python mod aligns negatives)
+    need_steps = n_pixel_frames * frame_interval
+
+    probe_env = gym.make(env_name)
+    actions = None
+    seed = seed_start
+    for seed in range(seed_start, seed_start + max_probe):
+        s, _ = probe_env.reset(seed=seed)
+        acts, n, done, a = [], -warmup, False, 0
+        while not done and n < need_steps:
+            if n % hold == 0:
+                a = int(heuristic(probe_env.unwrapped, s))
+                acts.append(a)
+            s, _, term, trunc, _ = probe_env.step(a)
+            done = term or trunc
+            n += 1
+        if n >= need_steps:
+            actions = acts
+            break
+    probe_env.close()
+    if actions is None:
+        raise RuntimeError(f"no episode surviving {need_steps + warmup} "
+                           f"steps in {max_probe} probes")
+
+    env = gym.make(env_name, render_mode="rgb_array")
+    env.reset(seed=seed)
+    frames, latent_actions = [], []
+    action_iter = iter(actions)
+    n, a = -warmup, 0
+    while n < need_steps:
+        if n % hold == 0:
+            a = next(action_iter)
+            if n >= 0:
+                latent_actions.append(a)
+        env.step(a)
+        if n >= 0 and n % frame_interval == 0:
+            frames.append(resize_frame(env.render(), frame_size))
+        n += 1
+    env.close()
+    assert len(frames) == n_pixel_frames, (len(frames), n_pixel_frames)
+    assert len(latent_actions) == n_pixel_frames // tc
+    return (np.stack(frames), np.asarray(latent_actions, np.int64), seed + 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--unet", required=True, help="UNet kwargs-bundle ckpt")
@@ -45,7 +112,6 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
-    from autoregressive_diffusion_tpu.data import GymDataGenerator
     from autoregressive_diffusion_tpu.models import Precond, UNetConfig
     from autoregressive_diffusion_tpu.models.cache import init_cache
     from autoregressive_diffusion_tpu.models.vae import (VAE, VAEConfig,
@@ -73,10 +139,7 @@ def main():
     model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
 
     tc = vae_cfg.time_compression
-    state_size = (args.context + args.frames) * tc
-    gen = GymDataGenerator(state_size, args.env, args.episodes * 4, tc,
-                           return_anyways=True, frame_size=256,
-                           seed=args.seed)
+    state_size = (args.context + args.frames) * tc  # pixel frames needed
 
     encode = jax.jit(lambda f: frames_to_latents(vae, vae_vars, f,
                                                  lat_mean, lat_std))
@@ -92,9 +155,12 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     all_mse, all_pmse, all_std, all_gt_std, all_persist = [], [], [], [], []
     strips = None
-    it = iter(gen)
+    next_seed = args.seed
     for ep in range(args.episodes):
-        frames, actions, _ = next(it)
+        frames, actions, next_seed = collect_long_episode(
+            args.env, state_size, tc, next_seed)
+        print(f"# episode {ep}: collected {len(frames)} frames "
+              f"(probe seed {next_seed - 1})", flush=True)
         z = encode(jnp.asarray(frames, jnp.float32)[None])  # (1, T, h, w, c)
         acts = jnp.asarray(actions, jnp.int32)[None]        # (1, T)
         ctx, gt = z[:, :args.context], z[:, args.context:]
