@@ -7,19 +7,50 @@ pipeline (the diffusion model itself never touches torch). Latents are
 affine-rescaled from the published raw statistics to (final_mean, final_std),
 matching the reference's scale/bias buffers.
 
-Requires `torch` and `diffusers` (optional dependencies); import errors
-surface only when the class is instantiated.
+The rescale math and the frames<->latents plumbing are pure functions
+(`affine_from_stats`, `rescale_to_final`, `rescale_from_final`) unit-tested
+without diffusers (tests/test_stability.py); only the pretrained-VAE download
+requires `diffusers`, and a custom `vae` object can be injected instead.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 
+def affine_from_stats(raw_mean: Sequence[float], raw_std: Sequence[float],
+                      final_mean: float, final_std: float):
+    """Per-channel affine (scale, bias) mapping raw latents with statistics
+    (raw_mean, raw_std) to (final_mean, final_std): z' = z*scale + bias.
+    Reference stability.py:20-24 (scale/bias buffers)."""
+    raw_mean = np.asarray(raw_mean, np.float32)
+    raw_std = np.asarray(raw_std, np.float32)
+    scale = np.float32(final_std) / raw_std
+    bias = np.float32(final_mean) - raw_mean * scale
+    return scale, bias
+
+
+def rescale_to_final(z: np.ndarray, scale: np.ndarray,
+                     bias: np.ndarray) -> np.ndarray:
+    """Raw channels-last latents -> final (rescaled) latents."""
+    return z * scale + bias
+
+
+def rescale_from_final(z: np.ndarray, scale: np.ndarray,
+                       bias: np.ndarray) -> np.ndarray:
+    """Inverse of `rescale_to_final` (reference stability.py:45-49)."""
+    return (z - bias) / scale
+
+
 class StabilityVAEBridge:
     """Host-side wrapper: uint8 frames (b, t, h, w, c) -> final latents
-    (b, t, h/8, w/8, 4) as numpy arrays (channels-last for the TPU model)."""
+    (b, t, h/8, w/8, 4) as numpy arrays (channels-last for the TPU model).
+
+    `vae`: optional pre-built object with diffusers' AutoencoderKL interface
+    (`encode(x)["latent_dist"].mean/.std`, `decode(z)["sample"]`); when None,
+    `vae_name` is downloaded via diffusers.
+    """
 
     def __init__(self,
                  vae_name: str = "stabilityai/sd-vae-ft-mse",
@@ -28,19 +59,20 @@ class StabilityVAEBridge:
                  final_mean: float = 0.0,
                  final_std: float = 0.5,
                  batch_size: int = 8,
-                 device: str = "cpu"):
+                 device: str = "cpu",
+                 vae: Optional[object] = None):
         import torch
-        from diffusers import AutoencoderKL
 
         self._torch = torch
-        self.scale = (np.float32(final_std) /
-                      np.asarray(raw_std, np.float32))
-        self.bias = (np.float32(final_mean) -
-                     np.asarray(raw_mean, np.float32) * self.scale)
+        self.scale, self.bias = affine_from_stats(raw_mean, raw_std,
+                                                  final_mean, final_std)
         self.batch_size = int(batch_size)
         self.device = device
-        self._vae = (AutoencoderKL.from_pretrained(vae_name)
-                     .requires_grad_(False).to(device))
+        if vae is None:
+            from diffusers import AutoencoderKL
+            vae = (AutoencoderKL.from_pretrained(vae_name)
+                   .requires_grad_(False).to(device))
+        self._vae = vae
 
     def _encode_raw(self, x_bchw):
         torch = self._torch
@@ -69,7 +101,7 @@ class StabilityVAEBridge:
         else:
             z = mean
         z = z.permute(0, 2, 3, 1).cpu().numpy()
-        z = z * self.scale + self.bias
+        z = rescale_to_final(z, self.scale, self.bias)
         return z.reshape((b, t) + z.shape[1:])
 
     def latents_to_frames(self, latents: np.ndarray) -> np.ndarray:
@@ -77,7 +109,8 @@ class StabilityVAEBridge:
         (reference stability.py:45-53)."""
         torch = self._torch
         b, t = latents.shape[:2]
-        z = (latents.reshape((-1,) + latents.shape[2:]) - self.bias) / self.scale
+        z = rescale_from_final(latents.reshape((-1,) + latents.shape[2:]),
+                               self.scale, self.bias)
         zt = torch.from_numpy(np.ascontiguousarray(z)).to(
             self.device).permute(0, 3, 1, 2).float()
         outs = []

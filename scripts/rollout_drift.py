@@ -27,19 +27,23 @@ import numpy as np
 
 
 def collect_long_episode(env_name, n_pixel_frames, tc, seed_start,
-                         frame_size=256, warmup=10, max_probe=2000):
+                         frame_size=256, warmup=10, max_probe=20000,
+                         policy="heuristic"):
     """Return (frames [n_pixel_frames,S,S,3] uint8, actions [n_latent] int64,
     next_seed) from ONE uninterrupted episode of >= warmup + 2*n_pixel_frames
     env steps.
 
-    Random-action LunarLander episodes average ~92 steps (never reaching the
-    ~300 this tool needs), so actions come from gymnasium's built-in heuristic
-    controller, held constant for tc*frame_interval env steps to match the
-    training conditioning structure (one action per latent frame,
-    data/gym_data.py). Survival at that hold rate is ~5%, so episodes are
-    first probed WITHOUT rendering (Box2D physics is deterministic given the
-    reset seed + action sequence, ~100x cheaper than rgb_array rendering) and
-    only a surviving seed is replayed with rendering."""
+    policy='heuristic': actions from gymnasium's built-in LunarLander
+    controller, held for tc*frame_interval env steps (matching the
+    training conditioning cadence, data/gym_data.py) -- OUT of the training
+    action distribution (trained on random actions) but able to survive long
+    horizons. policy='random': uniform random actions at the same cadence --
+    IN distribution, but random episodes average ~92 env steps, so only
+    short horizons are obtainable (drift v2 compares the two regimes to
+    separate conditioning shift from model drift). Episodes are first probed
+    WITHOUT rendering (Box2D physics is deterministic given the reset seed +
+    action sequence, ~100x cheaper than rgb_array rendering) and only a
+    surviving seed is replayed with rendering."""
     import gymnasium as gym
     from gymnasium.envs.box2d.lunar_lander import heuristic
 
@@ -47,9 +51,10 @@ def collect_long_episode(env_name, n_pixel_frames, tc, seed_start,
 
     frame_interval = 2
     hold = tc * frame_interval  # env steps per latent frame
-    # step counter runs -warmup..need_steps like the reference's
-    # step_count (gym_dataloader.py:40-92): capture at n>=0, n%2==0;
-    # action resampled when n % hold == 0 (python mod aligns negatives)
+    # step counter runs -(warmup-1)..need_steps like the reference's
+    # step_count (gym_dataloader.py:40-92, which resets at -warmup and takes
+    # its first env step at -warmup+1): capture at n>=0, n%2==0; action
+    # resampled when n % hold == 0 (python mod aligns negatives)
     need_steps = n_pixel_frames * frame_interval
 
     probe_env = gym.make(env_name)
@@ -57,10 +62,13 @@ def collect_long_episode(env_name, n_pixel_frames, tc, seed_start,
     seed = seed_start
     for seed in range(seed_start, seed_start + max_probe):
         s, _ = probe_env.reset(seed=seed)
-        acts, n, done, a = [], -warmup, False, 0
+        rng = np.random.default_rng(seed)
+        acts, n, done, a = [], -(warmup - 1), False, 0
         while not done and n < need_steps:
             if n % hold == 0:
-                a = int(heuristic(probe_env.unwrapped, s))
+                a = (int(rng.integers(probe_env.action_space.n))
+                     if policy == "random"
+                     else int(heuristic(probe_env.unwrapped, s)))
                 acts.append(a)
             s, _, term, trunc, _ = probe_env.step(a)
             done = term or trunc
@@ -70,20 +78,25 @@ def collect_long_episode(env_name, n_pixel_frames, tc, seed_start,
             break
     probe_env.close()
     if actions is None:
-        raise RuntimeError(f"no episode surviving {need_steps + warmup} "
-                           f"steps in {max_probe} probes")
+        raise RuntimeError(f"no {policy} episode surviving "
+                           f"{need_steps + warmup - 1} steps in "
+                           f"{max_probe} probes")
 
     env = gym.make(env_name, render_mode="rgb_array")
     env.reset(seed=seed)
     frames, latent_actions = [], []
     action_iter = iter(actions)
-    n, a = -warmup, 0
+    n, a = -(warmup - 1), 0
     while n < need_steps:
         if n % hold == 0:
             a = next(action_iter)
             if n >= 0:
                 latent_actions.append(a)
-        env.step(a)
+        _, _, term, trunc, _ = env.step(a)
+        # the probe promised survival; nondeterminism (gym version change,
+        # wind) would silently collect post-crash frames as ground truth
+        assert not (term or trunc) or n >= need_steps - 1, (
+            f"episode ended at replay step {n} but probe survived")
         if n >= 0 and n % frame_interval == 0:
             frames.append(resize_frame(env.render(), frame_size))
         n += 1
@@ -106,6 +119,12 @@ def main():
     ap.add_argument("--env", default="LunarLander-v3")
     ap.add_argument("--out", default="run_artifacts/rollout_drift")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--policy", choices=("heuristic", "random"),
+                    default="heuristic",
+                    help="ground-truth action source: 'heuristic' survives "
+                         "long horizons but is out of the (random-action) "
+                         "training distribution; 'random' matches training "
+                         "but only short episodes survive")
     args = ap.parse_args()
 
     import jax
@@ -158,7 +177,7 @@ def main():
     next_seed = args.seed
     for ep in range(args.episodes):
         frames, actions, next_seed = collect_long_episode(
-            args.env, state_size, tc, next_seed)
+            args.env, state_size, tc, next_seed, policy=args.policy)
         print(f"# episode {ep}: collected {len(frames)} frames "
               f"(probe seed {next_seed - 1})", flush=True)
         z = encode(jnp.asarray(frames, jnp.float32)[None])  # (1, T, h, w, c)
@@ -229,8 +248,9 @@ def main():
                 title="Decoded-pixel divergence")
     for ax in axes:
         ax.grid(alpha=0.3)
-    fig.suptitle(f"AR rollout drift: {args.frames} frames, "
-                 f"{args.episodes} episodes, ctx {args.context}")
+    fig.suptitle(f"AR rollout drift ({args.policy} actions): "
+                 f"{args.frames} frames, {args.episodes} episodes, "
+                 f"ctx {args.context}")
     fig.tight_layout()
     fig.savefig(os.path.join(args.out, "drift_curves.png"), dpi=120)
 
@@ -244,7 +264,9 @@ def main():
     plt.savefig(os.path.join(args.out, "drift_strip.png"), dpi=120,
                 bbox_inches="tight")
     print(f"# wrote {args.out}/drift_curves.png, drift_strip.png, drift.npz")
-    print(f"# latent MSE frame1={mse[0]:.4f} frame{args.frames}={mse[-1]:.4f} "
+    # 0-based frame indexing, matching the per-episode lines above
+    print(f"# [{args.policy}] latent MSE frame0={mse[0]:.4f} "
+          f"frame{args.frames-1}={mse[-1]:.4f} "
           f"(persistence {persist[-1]:.4f}); "
           f"std drift {std[-1]/max(gt_std[-1],1e-8):.3f}x truth")
 
