@@ -5,11 +5,17 @@ Reimplementation of /root/reference/edm2/attention/attention_modules.py.
 Key TPU redesign vs the reference:
   * The reference grows its KV cache by torch.cat each frame
     (attention_modules.py:56). JAX needs static shapes, so the cache is a
-    PREALLOCATED buffer of `max_frames` frames written in place with
-    dynamic_update_slice; a global frame counter masks out unwritten slots.
+    PREALLOCATED RING buffer of `max_frames` slots: frame p is written to
+    slot p % max_frames, overwriting the oldest frame once capacity is
+    reached -- a sliding attention window that makes rollouts genuinely
+    unbounded (the TPU-native answer to the reference's grow-forever cache).
+    Each slot's absolute position is derived from the global frame counter
+    (ring_slot_positions); unwritten slots are masked out.
   * K/V are cached UN-rotated (like the reference) and RoPE is re-applied
     with absolute frame positions on every call, so positions stay exact for
-    arbitrarily long rollouts.
+    arbitrarily long rollouts. The xPos pivot is re-centred at the current
+    frame counter so its scale tables stay bounded at any rollout length
+    (the pivot cancels exactly in q.k^T -- see ops/rope.py).
   * Execution paths (reference :63-75):
       train  -> DART block-sparse mask over the 2T-frame concat
       eval   -> block-causal prefill / single-frame decode vs the cache
@@ -54,12 +60,34 @@ def _to_cache_dtype(x: jax.Array, buf: jax.Array) -> jax.Array:
     return _quant_kv(x) if buf.dtype == jnp.int8 else x.astype(buf.dtype)
 
 
+def ring_slot_positions(frames, capacity: int) -> jax.Array:
+    """Absolute frame position held by ring slot i after `frames` frames
+    have been written: the largest p < frames with p % capacity == i.
+    Negative -> the slot was never written (mask it out)."""
+    i = jnp.arange(capacity)
+    return i + capacity * ((frames - 1 - i) // capacity)
+
+
+def ring_write(buf: jax.Array, new: jax.Array, frames) -> jax.Array:
+    """Write `new` (t frames, axis 2) into the ring buffer at slots
+    (frames + j) % capacity. t == 1 (decode) is a cheap dynamic slice; the
+    general case is a scatter over the frame axis (slots are distinct after
+    keeping only the last `capacity` frames)."""
+    capacity, t = buf.shape[2], new.shape[2]
+    if t == 1:
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, new, jnp.asarray(frames) % capacity, axis=2)
+    t0 = max(0, t - capacity)
+    slots = (jnp.asarray(frames) + jnp.arange(t0, t)) % capacity
+    return buf.at[:, :, slots].set(new[:, :, t0:])
+
+
 class VideoAttention(nn.Module):
     """Block-sparse spatiotemporal self-attention (reference :15-88)."""
     channels: int
     num_heads: int
     attn_balance: float = 0.3
-    max_frames: int = 64  # KV cache capacity (frames)
+    max_frames: int = 64  # KV ring capacity = sliding attention window
     quant: bool = False   # decode-only int8 weights (layers.MPConv.quant)
 
     @nn.compact
@@ -117,24 +145,22 @@ class VideoAttention(nn.Module):
         else:
             o = self._eval_attention(q, k, v, cache, frames, b, t, hw)
             if update_cache and cache is not None:
-                kbuf = jax.lax.dynamic_update_slice_in_dim(
-                    cache["k"], _to_cache_dtype(k, cache["k"]), frames, axis=2)
-                vbuf = jax.lax.dynamic_update_slice_in_dim(
-                    cache["v"], _to_cache_dtype(v, cache["v"]), frames, axis=2)
+                kbuf = ring_write(cache["k"], _to_cache_dtype(k, cache["k"]),
+                                  frames)
+                vbuf = ring_write(cache["v"], _to_cache_dtype(v, cache["v"]),
+                                  frames)
                 cache = {"k": kbuf, "v": vbuf}
             elif update_cache and cache is None:
-                # create a fresh preallocated buffer holding the new frames;
-                # int8 KV under decode quantization (K/V are pixel-normed, so
-                # a fixed scale suffices) -- halves KV HBM reads vs bf16 on
-                # the weight/cache-read-bound batch-1 rollout
+                # create a fresh preallocated ring buffer holding the new
+                # frames; int8 KV under decode quantization (K/V are
+                # pixel-normed, so a fixed scale suffices) -- halves KV HBM
+                # reads vs bf16 on the weight/cache-read-bound batch-1 rollout
                 f = self.max_frames
                 cdtype = jnp.int8 if self.quant else k.dtype
                 kbuf = jnp.zeros((b, self.num_heads, f, hw, k.shape[-1]), cdtype)
                 vbuf = jnp.zeros_like(kbuf)
-                kbuf = jax.lax.dynamic_update_slice_in_dim(
-                    kbuf, _to_cache_dtype(k, kbuf), frames, axis=2)
-                vbuf = jax.lax.dynamic_update_slice_in_dim(
-                    vbuf, _to_cache_dtype(v, vbuf), frames, axis=2)
+                kbuf = ring_write(kbuf, _to_cache_dtype(k, kbuf), frames)
+                vbuf = ring_write(vbuf, _to_cache_dtype(v, vbuf), frames)
                 cache = {"k": kbuf, "v": vbuf}
 
         y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
@@ -145,33 +171,38 @@ class VideoAttention(nn.Module):
     def _eval_attention(self, q, k, v, cache, frames, b, t, hw):
         """Prefill (t>=1 frames vs cache+self) and decode (t==1) share one
         path: attend to all valid cached frames plus the new ones,
-        frame-causally."""
+        frame-causally. The cache is a ring (sliding window): slot absolute
+        positions come from ring_slot_positions, so attention is over the
+        last min(frames, max_frames) frames at any rollout length."""
         q_pos = frames + jnp.arange(t)
         center = (frames + t) // 2
         if cache is not None and t == 1:
             # Decode fast path. Inside the sampler's lax.scan over diffusion
             # steps the cache is LOOP-INVARIANT (it only advances outside
             # the scan), so dequantizing + roping the cached K/V as a pure
-            # function of the cache lets XLA hoist that work out of the
-            # 2-NFE-per-step loop -- the old path rebuilt
+            # function of (cache, frames) lets XLA hoist that work out of
+            # the 2-NFE-per-step loop -- the old path rebuilt
             # (dynamic_update_slice) and re-roped the full buffer every
-            # denoiser call. The xPos center moves to 0 here: it cancels
-            # exactly in q.k^T (see ops/rope.py docstring), so outputs are
-            # invariant to it.
+            # denoiser call. The xPos pivot sits at `frames` (also
+            # loop-invariant): it cancels exactly in q.k^T (see ops/rope.py
+            # docstring) but keeps the scale tables bounded at ANY rollout
+            # length, where a fixed pivot would over/underflow fp32 past
+            # ~2.4k frames (0.2857^(f/64) dynamics).
             f = cache["k"].shape[2]
             c = q.shape[-1]
+            slot_pos = ring_slot_positions(frames, f)
             kc = _dequant_kv(cache["k"], k.dtype)
             vc = _dequant_kv(cache["v"], v.dtype)
-            cos_k, sin_k, scale_k = rope_tables(c, jnp.arange(f), 0)
+            cos_k, sin_k, scale_k = rope_tables(c, slot_pos, frames)
             kc = apply_rope(kc, cos_k, sin_k, 1.0 / scale_k)
-            qr, kfr = rope_qk(q, k, q_pos, q_pos, center=0)
+            qr, kfr = rope_qk(q, k, q_pos, q_pos, center=frames)
             scale = 1.0 / np.sqrt(c)
             # two-dot masked joint softmax: cached keys (hoisted) + the
             # fresh frame's keys (attends to itself, reference :69-70)
             lc = jnp.einsum("bmqc,bmfyc->bmqfy", qr[:, :, 0], kc,
                             preferred_element_type=jnp.float32) * scale
             lc = lc.reshape(b, self.num_heads, hw, f * hw)
-            valid = jnp.broadcast_to((jnp.arange(f) < frames)[:, None],
+            valid = jnp.broadcast_to((slot_pos >= 0)[:, None],
                                      (f, hw)).reshape(1, 1, 1, f * hw)
             lc = jnp.where(valid, lc, jnp.float32(-jnp.inf))
             lf = jnp.einsum("bmqc,bmyc->bmqy", qr[:, :, 0], kfr[:, :, 0],
@@ -193,12 +224,13 @@ class VideoAttention(nn.Module):
             fmask = q_pos[:, None] >= k_pos[None, :]
         else:
             f = cache["k"].shape[2]
-            kk = jax.lax.dynamic_update_slice_in_dim(
-                _dequant_kv(cache["k"], k.dtype), k, frames, axis=2)
-            vv = jax.lax.dynamic_update_slice_in_dim(
-                _dequant_kv(cache["v"], v.dtype), v, frames, axis=2)
-            k_pos = jnp.arange(f)
-            fmask = q_pos[:, None] >= k_pos[None, :]
+            kk = ring_write(_dequant_kv(cache["k"], k.dtype), k, frames)
+            vv = ring_write(_dequant_kv(cache["v"], v.dtype), v, frames)
+            # slot positions AFTER the new frames land; never-written slots
+            # stay negative and are masked below
+            k_pos = ring_slot_positions(frames + t, f)
+            fmask = (q_pos[:, None] >= k_pos[None, :]) & (k_pos[None, :] >= 0)
+            center = frames  # bounded xPos exponents at any rollout length
         qr, kr = rope_qk(q, kk, q_pos, k_pos, center=center)
         tk = kr.shape[2]
         qr = qr.reshape(b, self.num_heads, t * hw, -1)
@@ -208,11 +240,15 @@ class VideoAttention(nn.Module):
             # fresh prefill: Pallas frame-causal flash kernel
             o = causal_frame_attention(qr, kr, vr, t, hw)
         elif (cache is not None and t > 1 and isinstance(frames, int)
+              and frames + t <= cache["k"].shape[2]
               and flash_supported(t * hw, qr.shape[-1])):
             # warm-cache prefill: splash kernel over (new frames x full
             # buffer) with a STATIC frame offset (threaded via the model's
             # `prefill_offset` hint) -- avoids the dense (t*hw)x(f*hw)
             # fallback at CS scale (reference attention_modules.py:72-75).
+            # Its mask assumes slot == absolute position, which holds only
+            # before the ring wraps (frames + t <= capacity); a wrapped warm
+            # prefill takes the dense fallback below.
             o = prefill_cache_attention(qr, kr, vr, t, tk, frames, hw)
         else:
             mask = jnp.repeat(jnp.repeat(fmask, hw, axis=0), hw, axis=1)

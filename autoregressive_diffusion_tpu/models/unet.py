@@ -51,7 +51,9 @@ class UNetConfig:
     attn_balance: float = 0.3
     clip_act: float = 256.0
     dropout: float = 0.0
-    max_frames: int = 64  # KV-cache capacity for autoregressive rollout
+    # KV ring-buffer capacity: rollouts are UNBOUNDED; attention sees a
+    # sliding window of the last `max_frames` frames (models/attention.py)
+    max_frames: int = 64
     remat: bool = False   # jax.checkpoint each Block (memory for flops)
     # Decode-only int8 weight path (batch-1 rollout is weight-read-bound):
     # build params with train/quantize.quantize_variables, eval mode only.

@@ -168,6 +168,7 @@ def main():
     key = jax.random.PRNGKey(7)
     losses = []
     t0 = time.time()
+    t_win, i_win = t0, start  # sustained-rate window (excludes compile)
     # graceful preemption (see gym_train.py): checkpoint + clean exit on
     # SIGTERM instead of losing up to 2000 steps and wedging the chip claim
     stop_requested = []
@@ -195,8 +196,12 @@ def main():
             noise_state.add_data(metrics["sigma"], metrics["losses"])
             losses.append(float(metrics["unweighted"]))
         if i % 20 == 0 and is_p0:
+            now = time.time()
+            sustained = b * (i + 1 - i_win) / (now - t_win)
             print(f"step {i}: loss={np.mean(losses[-20:]):.4f} "
-                  f"{b*(i+1-start)/(time.time()-t0):.2f} samples/s", flush=True)
+                  f"{sustained:.2f} samples/s "
+                  f"(avg {b*(i+1-start)/(now-t0):.2f})", flush=True)
+            t_win, i_win = now, i + 1
         if i % 500 == 0 and i > start:
             # rank-0 fit + cross-process broadcast, then replicate over the
             # mesh (reference loss_weight.py:122-149)

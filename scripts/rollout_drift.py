@@ -151,10 +151,8 @@ def main():
     unet_kwargs, unet_vars = load_model(args.unet)
     cfg = UNetConfig(**{k: tuple(v) if isinstance(v, list) else v
                         for k, v in unet_kwargs.items()})
-    # KV capacity must cover context + generated frames
-    need = args.context + args.frames
-    if cfg.max_frames < need:
-        cfg = UNetConfig(**{**cfg.__dict__, "max_frames": need})
+    # the KV cache is a ring (sliding window of cfg.max_frames frames), so
+    # rollouts of any length run on the checkpoint's own config
     model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
 
     tc = vae_cfg.time_compression
