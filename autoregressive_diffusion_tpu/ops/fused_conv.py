@@ -336,23 +336,16 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
         w3b = w3p[9 * c:].astype(mm_dtype)
 
     def transform(j, s):
-        # elementwise transform in f32, then cast to the matmul dtype
-        # BEFORE the 9 tap rolls: the stack scratch is mm_dtype anyway
-        # (values identical -- cast commutes with roll/mask), and bf16
-        # rolls+masks run at 2x VPU lanes/op. The tap-roll pipeline is the
-        # dominant non-MXU term at 32-channel shapes (docs/PERF.md).
         xv = xq[0, j, s].astype(F32)
         if has_cv:
             xv = xv * cvq[0, j, s].astype(F32)[:, None]
-        xv = _silu_f32(xv) if silu_in else xv
-        return xv.astype(mm_dtype)
+        return _silu_f32(xv) if silu_in else xv
 
     def transform_halo(xh, cvh):
         xv = xh[0, 0, 0].astype(F32)
         if has_cv:
             xv = xv * cvh[0, 0, 0].astype(F32)[:, None]
-        xv = _silu_f32(xv) if silu_in else xv
-        return xv.astype(mm_dtype)
+        return _silu_f32(xv) if silu_in else xv
 
     def conv2d(tr):
         _stack_into(a_scr, 0, tr, w, hw, masks)
@@ -366,7 +359,7 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
         # a raw ring at every reader (2 stacks/frame instead of 4).
         # Preload frames t0-2 (same parity as t0) and t0-1; ones before
         # the clip start (reference conv.py:68).
-        ones = _ones_interior(c, l, w, mm_dtype)
+        ones = _ones_interior(c, l, w)
         _stack_into(a_scr, 0,
                     jnp.where(t0 >= 2, transform_halo(xh0, cvh0), ones),
                     w, hw, masks)
@@ -429,7 +422,6 @@ def _stack_inv_into(scr, da, gscr, w: int, hw: int, masks):
     un-stacking a (9C, HW) gradient."""
     co = da.shape[0]
     l = gscr.shape[1]
-    da = da.astype(gscr.dtype)  # bf16 rolls: cast precedes the rolls
     for k, (dy, dx) in enumerate(_TAPS):
         off = (1 + dy) * w + dx
         g = da
@@ -476,8 +468,7 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
         xv = xh[0, 0, 0].astype(F32)
         if has_cv:
             xv = xv * cvh[0, 0, 0].astype(F32)[:, None]
-        xv = _silu_f32(xv) if silu_in else xv
-        return xv.astype(mm_dtype)  # tr_ring holds the matmul dtype
+        return _silu_f32(xv) if silu_in else xv
 
     def back_transform(dtr, j, s, xv, z):
         """dtr (grad wrt transformed) -> write dcv, return grad wrt raw."""
@@ -510,7 +501,7 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
         pend_ring[t % 3] = jnp.zeros((c, l), F32)
 
     if with_ctx:
-        ones = _ones_interior(c, l, w, mm_dtype)
+        ones = _ones_interior(c, l, w)
         # transformed-clean ring preloaded with frames t0-2, t0-1 (ones
         # before the clip), mirroring the forward kernel
         tr_ring[t0 % 2] = jnp.where(t0 >= 2, transform_halo(xh0, cvh0),
@@ -564,7 +555,7 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
             def _():
                 pend_ring[(t - 1) % 3] += d1
 
-            tr_ring[t % 2] = tr_c.astype(mm_dtype)
+            tr_ring[t % 2] = tr_c
 
         dxq[0, j, 1] = back_transform(dtr_n, j, 1, x_n, z_n).astype(dxq.dtype)
         pend_ring[t % 3] += dtr_c
@@ -853,14 +844,10 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            # si_scr / g_scr in the MATMUL dtype: the inverse-stack rolls
-            # run at 2x VPU lanes/op in bf16, and the dX/dW dots consumed
-            # si as mm_dtype anyway (identical values, cast moved before
-            # the rolls). pend_ring stays f32 (gradient ACCUMULATION).
-            pltpu.VMEM((9 * cop, l), mm_dtype),
-            pltpu.VMEM((cop, l), mm_dtype),
+            pltpu.VMEM((9 * cop, l), F32),
+            pltpu.VMEM((cop, l), F32),
             pltpu.VMEM((3, cp, l), F32),
-            pltpu.VMEM((2, cp, l), mm_dtype),
+            pltpu.VMEM((2, cp, l), F32),
         ],
         compiler_params=_vmem_params(
             tb * 2 * cp * l * 2 * 3, 2 * 2 * cp * l * 2,
