@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--ref-lr", type=float, default=1e-2)
     ap.add_argument("--synthetic", action="store_true",
                     help="random latents (pipeline smoke test)")
+    ap.add_argument("--model-channels", type=int, default=128,
+                    help="UNet width (reference cs_train.py:38 uses 128; "
+                         "smaller values for pipeline smoke tests)")
     ap.add_argument("--use-actions", action="store_true",
                     help="condition the UNet on streamed actions (the "
                          "reference keeps label_dim=4 but passes None)")
@@ -99,7 +102,8 @@ def main():
 
     # reference cs_train.py:35-44
     cfg = UNetConfig(img_resolution=32, img_channels=8, label_dim=4,
-                     model_channels=128, channel_mult=(1, 2, 4, 4),
+                     model_channels=args.model_channels,
+                     channel_mult=(1, 2, 4, 4),
                      num_blocks=2, video_attn_resolutions=(4,),
                      frame_attn_resolutions=(8,), max_frames=128)
     model = Precond(cfg, sigma_data=1.0, body_dtype=jnp.bfloat16)
@@ -148,15 +152,22 @@ def main():
         start = int(state.step)
         print(f"# resumed at step {start}")
 
+    synth_fn = None
     if args.synthetic or args.shards is None:
-        print("# synthetic latents (smoke mode)")
-        rng = np.random.default_rng(0)
+        # Device-generated synthetic latents: the batch never crosses the
+        # host<->chip boundary (the 1-core host cannot synthesize + upload
+        # 16 MB/step at chip rate -- same lesson as the gym run's
+        # device-resident replay, data/replay.py).
+        print("# synthetic latents (device-generated)")
 
-        def synth():
-            while True:
-                yield {"latents": rng.normal(size=(b, t, 32, 32, 8)).astype(np.float32),
-                       "actions": rng.integers(0, 4, size=(b, t))}
-        loader = synth()
+        def _synth(k):
+            kl, ka = jax.random.split(k)
+            lat = jax.random.normal(kl, (b, t, 32, 32, 8), jnp.float32)
+            act = jax.random.randint(ka, (b, t), 0, 4)
+            return lat, act
+        synth_fn = jax.jit(_synth, out_shardings=(seq_sharding(mesh),
+                                                  seq_sharding(mesh)))
+        loader = iter(int, 1)  # infinite dummy iterator
     else:
         ds = LocalLatentShards(args.shards, clip_size=t,
                                rank=jax.process_index(),
@@ -176,26 +187,43 @@ def main():
                   lambda s, f: (stop_requested.append(True),
                                 print("# SIGTERM: will checkpoint and exit",
                                       flush=True)))
+    # Deferred metric fetches: per-step float()/np.asarray syncs serialize
+    # the device queue over the tunnel (ROADMAP round-2 lesson). Device
+    # metric handles are held and converted in one bulk drain every 20
+    # steps -- by then the async dispatches have long completed.
+    pending = []
+
+    def drain():
+        for m in pending:
+            noise_state.add_data(np.asarray(m["sigma"]),
+                                 np.asarray(m["losses"]))
+            losses.append(float(m["unweighted"]))
+        pending.clear()
+
     for i, batch in enumerate(loader, start=start):
         if i >= args.steps:
             break
-        latents = jax.device_put(jnp.asarray(batch["latents"]),
-                                 seq_sharding(mesh))
-        # label_dim=4 like the reference, which still passes actions=None
-        # (cs_train.py:104); --use-actions feeds the streamed actions.
-        actions = None
-        if args.use_actions and batch.get("actions") is not None:
-            actions = jax.device_put(
-                jnp.asarray(batch["actions"], jnp.int32),
-                seq_sharding(mesh))
         key, k = jax.random.split(key)
+        if synth_fn is not None:
+            latents, acts = synth_fn(jax.random.fold_in(key, i))
+            actions = acts if args.use_actions else None
+        else:
+            latents = jax.device_put(jnp.asarray(batch["latents"]),
+                                     seq_sharding(mesh))
+            # label_dim=4 like the reference, which still passes
+            # actions=None (cs_train.py:104); --use-actions feeds them.
+            actions = None
+            if args.use_actions and batch.get("actions") is not None:
+                actions = jax.device_put(
+                    jnp.asarray(batch["actions"], jnp.int32),
+                    seq_sharding(mesh))
         # just_2d passed positionally: pjit rejects kwargs when
         # in_shardings is set (static_argnames still applies by position)
         state, metrics = step_fn(state, latents, actions, k, i % 4 == 0)
         if is_p0:
-            noise_state.add_data(metrics["sigma"], metrics["losses"])
-            losses.append(float(metrics["unweighted"]))
+            pending.append(metrics)
         if i % 20 == 0 and is_p0:
+            drain()
             now = time.time()
             sustained = b * (i + 1 - i_win) / (now - t_win)
             print(f"step {i}: loss={np.mean(losses[-20:]):.4f} "
@@ -203,11 +231,15 @@ def main():
                   f"(avg {b*(i+1-start)/(now-t0):.2f})", flush=True)
             t_win, i_win = now, i + 1
         if i % 500 == 0 and i > start:
+            if is_p0:
+                drain()
             # rank-0 fit + cross-process broadcast, then replicate over the
             # mesh (reference loss_weight.py:122-149)
             coefs = jnp.asarray(fit_and_broadcast(noise_state))
             state = state.replace(coefs=jax.device_put(coefs, replicated(mesh)))
         if i % 2000 == 0 and i > start:
+            if is_p0:
+                drain()
             # all processes participate in the FSDP all-gather inside
             # gather_to_host; only process 0 writes
             host_state = gather_to_host(state)
@@ -216,12 +248,18 @@ def main():
                                  {"losses": losses}, keep=3)
                 print("# checkpoint saved")
         if stop_requested:
+            if is_p0:
+                drain()
             host_state = gather_to_host(state)
             if is_p0:
                 save_train_state(args.ckpt_dir, int(state.step), host_state,
                                  {"losses": losses}, keep=3)
                 print("# checkpoint saved on SIGTERM")
             break
+    if is_p0:
+        drain()
+        print(f"# done: {len(losses)} steps recorded, "
+              f"final loss {np.mean(losses[-20:]):.4f}", flush=True)
 
 
 if __name__ == "__main__":
