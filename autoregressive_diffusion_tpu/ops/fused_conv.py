@@ -50,6 +50,7 @@ Shapes/terms:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -199,6 +200,13 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
         cop = max(_cpad(max(cout, 1)), 8)
         if cp > int(os.environ.get("AD_TPU_FUSED_MAX_CP", "96")):
             return False, False
+        # Separate cout cap: a small-cin conv into a wide cout (the CS
+        # stem, 9->128 at 32x32) gives XLA a densely-tiled output and the
+        # kernel no lane win on that side of the dot. Unset = no cap;
+        # the shipped default is set from the on-chip ablation below.
+        max_cop = os.environ.get("AD_TPU_FUSED_MAX_COP")
+        if max_cop is not None and cop > int(max_cop):
+            return False, False
         budget = int(os.environ.get("AD_TPU_FUSED_VMEM_MB", "64")) << 20
         if _bwd_vmem_bytes(2, h, w, cp, cop) > budget:
             return False, False
@@ -320,7 +328,7 @@ def _dot_cn(a, b):
 
 def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
                 tb: int, t_total: int, w: int, hw: int, silu_in: bool,
-                has_cv: bool, with_ctx: bool, mm_dtype):
+                has_cv: bool, with_ctx: bool, mm_dtype, packed: bool = False):
     if with_ctx:
         y2d_res, ctx_res, a_scr, st_ring = rest
     else:
@@ -329,27 +337,41 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
     t0 = pl.program_id(1) * tb
     c = xq.shape[-2]
     l = xq.shape[-1]
-    masks = _make_masks(c, hw, w)
+    # packed rolls: channel PAIRS are bitcast into one i32 sublane before
+    # the 9 tap rolls (Mosaic's dynamic_rotate is 32-bit-only, so bf16
+    # cannot roll natively) -- the rolls then move half the elements of
+    # the f32 formulation. Lanes are pixels and stay 1:1 through the
+    # bitcast, so shifts and the per-lane dx edge masks are unaffected;
+    # one bitcast back to bf16 feeds the MXU dot.
+    masks = _make_masks(c // 2 if packed else c, hw, w)
     w2 = w2p[...].astype(mm_dtype)
     if with_ctx:
         w3a = w3p[:9 * c].astype(mm_dtype)
         w3b = w3p[9 * c:].astype(mm_dtype)
 
+    def _pack(xv):
+        return pltpu.bitcast(xv.astype(jnp.bfloat16), jnp.int32)
+
+    def _unpack(a):
+        return pltpu.bitcast(a, jnp.bfloat16) if packed else a
+
     def transform(j, s):
         xv = xq[0, j, s].astype(F32)
         if has_cv:
             xv = xv * cvq[0, j, s].astype(F32)[:, None]
-        return _silu_f32(xv) if silu_in else xv
+        xv = _silu_f32(xv) if silu_in else xv
+        return _pack(xv) if packed else xv
 
     def transform_halo(xh, cvh):
         xv = xh[0, 0, 0].astype(F32)
         if has_cv:
             xv = xv * cvh[0, 0, 0].astype(F32)[:, None]
-        return _silu_f32(xv) if silu_in else xv
+        xv = _silu_f32(xv) if silu_in else xv
+        return _pack(xv) if packed else xv
 
     def conv2d(tr):
         _stack_into(a_scr, 0, tr, w, hw, masks)
-        return _dot_kc(w2, a_scr[...])
+        return _dot_kc(w2, _unpack(a_scr[...]))
 
     if with_ctx:
         # STACKED-tap ring: slot t % 2 holds the 9 shifted-tap rows of
@@ -359,7 +381,8 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
         # a raw ring at every reader (2 stacks/frame instead of 4).
         # Preload frames t0-2 (same parity as t0) and t0-1; ones before
         # the clip start (reference conv.py:68).
-        ones = _ones_interior(c, l, w)
+        ones = (_pack(_ones_interior(c, l, w)) if packed
+                else _ones_interior(c, l, w))
         _stack_into(a_scr, 0,
                     jnp.where(t0 >= 2, transform_halo(xh0, cvh0), ones),
                     w, hw, masks)
@@ -374,8 +397,8 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
         if with_ctx:
             # context from the stacked ring (frames t-2, t-1) BEFORE frame
             # t's own stack overwrites the t-2 slot below
-            ctx = (_dot_kc(w3a, st_ring[t % 2])
-                   + _dot_kc(w3b, st_ring[(t + 1) % 2]))
+            ctx = (_dot_kc(w3a, _unpack(st_ring[t % 2]))
+                   + _dot_kc(w3b, _unpack(st_ring[(t + 1) % 2])))
         y2d_c = conv2d(transform(j, 0))
         if with_ctx:
             st_ring[t % 2] = a_scr[...]  # frame t's stack, still in a_scr
@@ -417,9 +440,10 @@ def _stack_inv_into(scr, da, gscr, w: int, hw: int, masks):
     """Inverse-shifted stack of an output gradient: scr row-block k holds
     wide_k[m] = masked_k(da)[m - off_k] (zeros outside the HW window; the
     only wrap positions land on discarded H-pad lanes). Rolls run on the
-    (Co, Lp) f32 widen scratch -- independent of the (possibly much larger)
-    input channel count, which is what makes this formulation cheaper than
-    un-stacking a (9C, HW) gradient."""
+    (Co, Lp) widen scratch (f32, or packed-i32 channel pairs -- see
+    _bwd_kernel) -- independent of the (possibly much larger) input channel
+    count, which is what makes this formulation cheaper than un-stacking a
+    (9C, HW) gradient."""
     co = da.shape[0]
     l = gscr.shape[1]
     for k, (dy, dx) in enumerate(_TAPS):
@@ -438,13 +462,17 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
                 dxq, dw2t, dw3at, dw3bt, dcvq, dgates,
                 si_scr, g_scr, pend_ring, tr_ring,
                 *, tb: int, t_total: int, w: int, hw: int, silu_in: bool,
-                has_cv: bool, with_ctx: bool, mm_dtype):
+                has_cv: bool, with_ctx: bool, mm_dtype, packed: bool = False):
     b_i = pl.program_id(0)
     t0 = pl.program_id(1) * tb
     c = xq.shape[-2]
     l = xq.shape[-1]
     cop = gout.shape[-2]
-    masks = _make_masks(cop, hw, w)
+    # packed inverse-stack rolls: same scheme as _fwd_kernel -- the
+    # output-channel gradient is cast to bf16 (the dots consumed it as
+    # mm_dtype anyway), channel pairs bitcast to i32, the 9 rolls run on
+    # half the elements, and one bitcast back feeds the dW/dX dots.
+    masks = _make_masks(cop // 2 if packed else cop, hw, w)
     w2m = w2t[...].astype(mm_dtype)
     if with_ctx:
         w3am = w3at[...].astype(mm_dtype)
@@ -485,10 +513,18 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
         return (go * ((1 - g) * s_), go * (g * s_),
                 jnp.sum(go * ((b - a) * s_ + lerp * ds)))
 
+    def inv_stack(da):
+        """Inverse-shifted 9-tap stack of an output grad, as mm_dtype."""
+        if packed:
+            dap = pltpu.bitcast(da.astype(jnp.bfloat16), jnp.int32)
+            _stack_inv_into(si_scr, dap, g_scr, w, hw, masks)
+            return pltpu.bitcast(si_scr[...], jnp.bfloat16)
+        _stack_inv_into(si_scr, da, g_scr, w, hw, masks)
+        return si_scr[...].astype(mm_dtype)
+
     def branch(da, tr):
         """stack_inv(da) -> (dtr for this conv input, dW accum term)."""
-        _stack_inv_into(si_scr, da, g_scr, w, hw, masks)
-        si = si_scr[...].astype(mm_dtype)
+        si = inv_stack(da)
         dtr = _dot_kc(w2m, si)
         dw = _dot_nn(si, tr.astype(mm_dtype))
         return dtr, dw
@@ -536,8 +572,7 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
             tr2 = tr_ring[t % 2]
             tr1 = tr_ring[(t + 1) % 2]
             dctx = db_c + db_n
-            _stack_inv_into(si_scr, dctx, g_scr, w, hw, masks)
-            si = si_scr[...].astype(mm_dtype)
+            si = inv_stack(dctx)
             dw3at[...] += _dot_nn(si, tr2.astype(mm_dtype))
             dw3bt[...] += _dot_nn(si, tr1.astype(mm_dtype))
             d2 = _dot_kc(w3am, si)
@@ -589,8 +624,7 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
                 g_c, g_n = gateh[0, 0, 0, 0], gateh[0, 0, 0, 1]
                 _, db_c, _ = blend_bwd(go_c, y2d_c, ctx, g_c)
                 _, db_n, _ = blend_bwd(go_n, y2d_n, ctx, g_n)
-                _stack_inv_into(si_scr, db_c + db_n, g_scr, w, hw, masks)
-                si = si_scr[...].astype(mm_dtype)
+                si = inv_stack(db_c + db_n)
                 # d2 -> local tb-2+jh; d1 -> local tb-1+jh (only in-block)
                 pend_ring[(s - 2) % 3] += _dot_kc(w3am, si)
                 if jh == 0:
@@ -706,12 +740,14 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
     if cv is None:
         cv = _dummy_cv(xp)
     mm_dtype = xp.dtype if xp.dtype == jnp.bfloat16 else F32
+    packed = (mm_dtype == jnp.bfloat16 and cp % 2 == 0 and
+              os.environ.get("AD_TPU_PACKED_ROLLS", "1") != "0")
     tb = _pick_tb(t, h, w, cp, cop)
     nt = -(-t // tb)
     xq, xh0, xh1, w2s, w3s, cvq, cvh0, cvh1, gsp = _specs(tb, cp, cop, l)
     kernel = functools.partial(
         _fwd_kernel, tb=tb, t_total=t, w=w, hw=hw, silu_in=silu_in,
-        has_cv=has_cv, with_ctx=with_ctx, mm_dtype=mm_dtype)
+        has_cv=has_cv, with_ctx=with_ctx, mm_dtype=mm_dtype, packed=packed)
     osp = pl.BlockSpec((1, tb, 2, cop, hw), lambda b_, i: (b_, i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     osh = jax.ShapeDtypeStruct((b, t, 2, cop, hw), xp.dtype)
@@ -733,9 +769,13 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
         # a_scr + (ctx only) the 2-slot stacked-tap ring. With the bf16
         # body (the training configuration) forward scratch (27*cp*hw*2)
         # stays below the backward's (15*cp*l*4), so _pick_tb's backward
-        # footprint remains the binding VMEM model.
-        scratch_shapes=[pltpu.VMEM((9 * cp, hw), mm_dtype)] + (
-            [pltpu.VMEM((2, 9 * cp, hw), mm_dtype)] if with_ctx else []),
+        # footprint remains the binding VMEM model. packed: same bytes,
+        # half the sublanes, i32 (see _fwd_kernel).
+        scratch_shapes=([pltpu.VMEM((9 * cp // 2, hw), jnp.int32)] + (
+            [pltpu.VMEM((2, 9 * cp // 2, hw), jnp.int32)] if with_ctx
+            else []) if packed else
+            [pltpu.VMEM((9 * cp, hw), mm_dtype)] + (
+            [pltpu.VMEM((2, 9 * cp, hw), mm_dtype)] if with_ctx else [])),
         compiler_params=_vmem_params(
             tb * 2 * cp * l * 2 * 2, 2 * 2 * cp * l * 2,
             tb * 2 * cop * hw * 2 * (3 if with_ctx else 1),
@@ -782,6 +822,8 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
     cv = (jnp.pad(cvec, ((0, 0), (0, 0), (0, 0), (0, cp - c_raw)))
           if has_cv else _dummy_cv(xp))
     mm_dtype = xp.dtype if xp.dtype == jnp.bfloat16 else F32
+    packed = (mm_dtype == jnp.bfloat16 and cop % 2 == 0 and
+              os.environ.get("AD_TPU_PACKED_ROLLS", "1") != "0")
     tb = _pick_tb(t, h, w, cp, cop)
     nt = -(-t // tb)
     vm = pltpu.VMEM
@@ -832,8 +874,16 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
     ]
     kernel = functools.partial(
         _bwd_kernel, tb=tb, t_total=t, w=w, hw=hw, silu_in=silu_in,
-        has_cv=has_cv, with_ctx=with_ctx, mm_dtype=mm_dtype)
+        has_cv=has_cv, with_ctx=with_ctx, mm_dtype=mm_dtype, packed=packed)
     gf = gates.astype(F32)[:, :, None]
+    if packed:
+        # si/g scratch in packed-i32 (half sublanes, bf16 values -- see
+        # _bwd_kernel); pend_ring stays F32 (gradient ACCUMULATION).
+        si_g_scr = [pltpu.VMEM((9 * cop // 2, l), jnp.int32),
+                    pltpu.VMEM((cop // 2, l), jnp.int32)]
+    else:
+        si_g_scr = [pltpu.VMEM((9 * cop, l), F32),
+                    pltpu.VMEM((cop, l), F32)]
     dxq, dw2t, dw3at_o, dw3bt_o, dcvq, dgates = pl.pallas_call(
         kernel,
         grid=(b, nt),
@@ -843,9 +893,7 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
                   gateh[0], gateh[1]],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((9 * cop, l), F32),
-            pltpu.VMEM((cop, l), F32),
+        scratch_shapes=si_g_scr + [
             pltpu.VMEM((3, cp, l), F32),
             pltpu.VMEM((2, cp, l), F32),
         ],

@@ -256,10 +256,14 @@ def main():
                                  {"losses": losses}, keep=3)
                 print("# checkpoint saved on SIGTERM")
             break
+    host_state = gather_to_host(state)
     if is_p0:
         drain()
+        save_train_state(args.ckpt_dir, int(state.step), host_state,
+                         {"losses": losses}, keep=3)
         print(f"# done: {len(losses)} steps recorded, "
-              f"final loss {np.mean(losses[-20:]):.4f}", flush=True)
+              f"final loss {np.mean(losses[-20:]):.4f}; checkpoint saved",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,47 @@ def test_fused_kernel_matches_oracle(silu_in, has_cv, with_ctx):
         _rel_check(a, b)
 
 
+def test_fused_kernel_bf16_packed_rolls_matches_unpacked(monkeypatch):
+    # bf16 activations trigger the packed-i32 tap-roll path (channel pairs
+    # bitcast into one i32 sublane before the 9 rolls -- Mosaic's
+    # dynamic_rotate is 32-bit-only). Packing only reorders cast-vs-roll
+    # (the bf16 cast commutes with lane shifts and masks), so forward AND
+    # every gradient must match the unpacked bf16 path EXACTLY; the f32
+    # oracle check is a loose sanity bound on the bf16 rounding itself.
+    h = w = 8
+    xp, w2, w3, cvec, gates = _setup(h=h, w=w)
+    xp16 = xp.astype(jnp.bfloat16)
+    probe = None
+
+    def run():
+        nonlocal probe
+        out = fc.fused_gated_conv(xp16, w2, w3, cvec, gates, h, w, True,
+                                  True, True)
+        if probe is None:
+            probe = jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.37)
+
+        def loss(*a):
+            return jnp.sum(fc.fused_gated_conv(*a, h, w, True, True, True)
+                           .astype(jnp.float32) * probe)
+        g = jax.grad(loss, (0, 1, 2, 3, 4))(xp16, w2, w3, cvec, gates)
+        return out, g
+
+    monkeypatch.setenv("AD_TPU_PACKED_ROLLS", "1")
+    out_p, g_p = run()
+    monkeypatch.setenv("AD_TPU_PACKED_ROLLS", "0")
+    out_u, g_u = run()
+
+    assert np.array_equal(np.asarray(out_p, np.float32),
+                          np.asarray(out_u, np.float32))
+    for name, a, b in zip(["dx", "dw2", "dw3", "dcv", "dgates"], g_p, g_u):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32)), name
+
+    out_r = fc.fused_gated_conv_reference(
+        xp16.astype(jnp.float32), w2, w3, cvec, gates, h, w, True, True)
+    _rel_check(out_p.astype(jnp.float32), out_r, tol=2e-2)
+
+
 def test_fused_kernel_nonsquare_and_odd_channels():
     # C=9 exercises the channel zero-padding path (the UNet stem has
     # img_channels + 1 = 9 input channels).
