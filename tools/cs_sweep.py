@@ -14,19 +14,43 @@ Reconciles the r3 bench (119.5 ms/step default) vs docs/PERF.md's 106.1
 all-XLA ablation by re-measuring both cells back-to-back on the same chip,
 and decides the shipped AD_TPU_FUSED_MAX_COP default.
 
-Usage: python tools/cs_sweep.py
+One cell per PROCESS: flipping the gating env vars + jax.clear_caches()
+inside one process wedges the tunneled runtime after the first cell's
+donated 5.8 GiB TrainState (TPU backend InvalidArgument on the recompile,
+reproduced) -- so with no --cell argument this re-execs itself once per
+cell, waiting for the relay to reap the previous grant between runs.
+
+Usage: python tools/cs_sweep.py            # all cells, one process each
+       python tools/cs_sweep.py --cell N   # one cell in this process
 """
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-import jax
-import jax.numpy as jnp
+CELLS = [
+    ("default (stem fused)", {}),
+    ("cop96 (stem -> XLA)", {"AD_TPU_FUSED_MAX_COP": "96"}),
+    ("all-XLA", {"AD_TPU_FUSED_CONV": "0"}),
+]
+
+
+def driver():
+    for i, (name, env) in enumerate(CELLS):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cell", str(i)],
+            env={**os.environ, **env})
+        if r.returncode:
+            print(f"{name:24s} FAILED: exit {r.returncode}", flush=True)
+        if i + 1 < len(CELLS):
+            time.sleep(150)  # relay grant reap (~2 min) before next register
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
     from autoregressive_diffusion_tpu.models import Precond, UNetConfig
     from autoregressive_diffusion_tpu.train import (EDM2LossConfig,
                                                     create_train_state,
@@ -74,28 +98,14 @@ def main():
         del state
         return (t_long - t_short) / 3
 
-    cells = [
-        ("default (stem fused)", {}),
-        ("cop96 (stem -> XLA)", {"AD_TPU_FUSED_MAX_COP": "96"}),
-        ("all-XLA", {"AD_TPU_FUSED_CONV": "0"}),
-    ]
-    base = {k: os.environ.get(k)
-            for k in ("AD_TPU_FUSED_MAX_COP", "AD_TPU_FUSED_CONV")}
-    for name, env in cells:
-        for k, v in base.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-        os.environ.update(env)
-        jax.clear_caches()
-        try:
-            dt = measure()
-            print(f"{name:24s} {dt/g*1e3:7.1f} ms/step "
-                  f"{b*g/dt:6.2f} samples/s", flush=True)
-        except Exception as e:
-            print(f"{name:24s} FAILED: {type(e).__name__}: {e}", flush=True)
+    name = CELLS[int(sys.argv[sys.argv.index("--cell") + 1])][0]
+    dt = measure()
+    print(f"{name:24s} {dt/g*1e3:7.1f} ms/step "
+          f"{b*g/dt:6.2f} samples/s", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--cell" in sys.argv:
+        main()
+    else:
+        driver()
