@@ -68,6 +68,31 @@ def ring_slot_positions(frames, capacity: int) -> jax.Array:
     return i + capacity * ((frames - 1 - i) // capacity)
 
 
+def decode_tables(kbuf: jax.Array, vbuf: jax.Array, new_frames,
+                  dtype) -> dict:
+    """Precompute the decode-attention view of the KV ring: dequantized,
+    RoPE-rotated (absolute slot positions, xPos pivot at `new_frames`),
+    token-flattened keys/values plus an additive validity bias.
+
+    Computed ONCE per cache update (per frame) and stored in the cache, so
+    the 2-NFE-per-step diffusion scan reads finished tables instead of
+    re-deriving them. Round 3 relied on XLA loop-invariant code motion for
+    this hoist; the ring cache's dynamic slot positions broke the pattern
+    (the compiled sampler re-dequantized + re-roped the full buffer and
+    re-applied the validity select EVERY denoiser call -- 15.4 -> 13.6
+    frames/s measured), so the hoist is now structural."""
+    b, m, f, hw, c = kbuf.shape
+    slot_pos = ring_slot_positions(new_frames, f)
+    kc = _dequant_kv(kbuf, dtype)
+    vc = _dequant_kv(vbuf, dtype)
+    cos_k, sin_k, scale_k = rope_tables(c, slot_pos, new_frames)
+    kc = apply_rope(kc, cos_k, sin_k, 1.0 / scale_k)
+    bias = jnp.where(slot_pos >= 0, 0.0, -jnp.inf).astype(jnp.float32)
+    return {"kr": kc.reshape(b, m, f * hw, c),
+            "vr": vc.reshape(b, m, f * hw, c),
+            "bias": jnp.broadcast_to(bias[:, None], (f, hw)).reshape(f * hw)}
+
+
 def ring_write(buf: jax.Array, new: jax.Array, frames) -> jax.Array:
     """Write `new` (t frames, axis 2) into the ring buffer at slots
     (frames + j) % capacity. t == 1 (decode) is a cheap dynamic slice; the
@@ -149,7 +174,8 @@ class VideoAttention(nn.Module):
                                   frames)
                 vbuf = ring_write(cache["v"], _to_cache_dtype(v, cache["v"]),
                                   frames)
-                cache = {"k": kbuf, "v": vbuf}
+                cache = {"k": kbuf, "v": vbuf,
+                         **decode_tables(kbuf, vbuf, frames + t, k.dtype)}
             elif update_cache and cache is None:
                 # create a fresh preallocated ring buffer holding the new
                 # frames; int8 KV under decode quantization (K/V are
@@ -161,7 +187,8 @@ class VideoAttention(nn.Module):
                 vbuf = jnp.zeros_like(kbuf)
                 kbuf = ring_write(kbuf, _to_cache_dtype(k, kbuf), frames)
                 vbuf = ring_write(vbuf, _to_cache_dtype(v, vbuf), frames)
-                cache = {"k": kbuf, "v": vbuf}
+                cache = {"k": kbuf, "v": vbuf,
+                         **decode_tables(kbuf, vbuf, frames + t, k.dtype)}
 
         y = einops.rearrange(o, "b m t (h w) c -> b t h w (m c)", h=h, w=w)
         y = MPConv(self.channels, (1, 1), quant=self.quant,
@@ -176,44 +203,39 @@ class VideoAttention(nn.Module):
         last min(frames, max_frames) frames at any rollout length."""
         q_pos = frames + jnp.arange(t)
         center = (frames + t) // 2
-        if cache is not None and t == 1:
-            # Decode fast path. Inside the sampler's lax.scan over diffusion
-            # steps the cache is LOOP-INVARIANT (it only advances outside
-            # the scan), so dequantizing + roping the cached K/V as a pure
-            # function of (cache, frames) lets XLA hoist that work out of
-            # the 2-NFE-per-step loop -- the old path rebuilt
-            # (dynamic_update_slice) and re-roped the full buffer every
-            # denoiser call. The xPos pivot sits at `frames` (also
-            # loop-invariant): it cancels exactly in q.k^T (see ops/rope.py
-            # docstring) but keeps the scale tables bounded at ANY rollout
-            # length, where a fixed pivot would over/underflow fp32 past
-            # ~2.4k frames (0.2857^(f/64) dynamics).
-            f = cache["k"].shape[2]
+        if cache is not None and t == 1 and "kr" in cache:
+            # Decode fast path. The dequantized + absolutely-roped +
+            # token-flattened cache view (kr/vr) and the slot-validity bias
+            # were precomputed by decode_tables() when the cache was last
+            # written -- ONCE per frame, outside the sampler's diffusion
+            # scan -- so each of the 2-NFE-per-step denoiser calls is just
+            # two dots + a biased joint softmax. (Round 3 left this hoist to
+            # XLA's loop-invariant code motion; the ring cache's dynamic
+            # slot positions silently broke it. Structural now.) The xPos
+            # pivot sits at `frames`, matching decode_tables: it cancels
+            # exactly in q.k^T (see ops/rope.py docstring) but keeps the
+            # scale tables bounded at ANY rollout length, where a fixed
+            # pivot would over/underflow fp32 past ~2.4k frames
+            # (0.2857^(f/64) dynamics).
+            kr, vr, bias = cache["kr"], cache["vr"], cache["bias"]
+            fhw = kr.shape[2]
             c = q.shape[-1]
-            slot_pos = ring_slot_positions(frames, f)
-            kc = _dequant_kv(cache["k"], k.dtype)
-            vc = _dequant_kv(cache["v"], v.dtype)
-            cos_k, sin_k, scale_k = rope_tables(c, slot_pos, frames)
-            kc = apply_rope(kc, cos_k, sin_k, 1.0 / scale_k)
             qr, kfr = rope_qk(q, k, q_pos, q_pos, center=frames)
             scale = 1.0 / np.sqrt(c)
-            # two-dot masked joint softmax: cached keys (hoisted) + the
+            # two-dot biased joint softmax: cached keys (precomputed) + the
             # fresh frame's keys (attends to itself, reference :69-70)
-            lc = jnp.einsum("bmqc,bmfyc->bmqfy", qr[:, :, 0], kc,
+            lc = jnp.einsum("bmqc,bmkc->bmqk", qr[:, :, 0],
+                            kr.astype(k.dtype),
                             preferred_element_type=jnp.float32) * scale
-            lc = lc.reshape(b, self.num_heads, hw, f * hw)
-            valid = jnp.broadcast_to((slot_pos >= 0)[:, None],
-                                     (f, hw)).reshape(1, 1, 1, f * hw)
-            lc = jnp.where(valid, lc, jnp.float32(-jnp.inf))
+            lc = lc + bias
             lf = jnp.einsum("bmqc,bmyc->bmqy", qr[:, :, 0], kfr[:, :, 0],
                             preferred_element_type=jnp.float32) * scale
             wts = jax.nn.softmax(jnp.concatenate([lc, lf], axis=-1), axis=-1)
             wts = wts.astype(v.dtype)
-            o = jnp.einsum("bmqfy,bmfyc->bmqc",
-                           wts[..., :f * hw].reshape(
-                               b, self.num_heads, hw, f, hw), vc,
+            o = jnp.einsum("bmqk,bmkc->bmqc", wts[..., :fhw],
+                           vr.astype(v.dtype),
                            preferred_element_type=jnp.float32)
-            o = o + jnp.einsum("bmqy,bmyc->bmqc", wts[..., f * hw:],
+            o = o + jnp.einsum("bmqy,bmyc->bmqc", wts[..., fhw:],
                                v[:, :, 0],
                                preferred_element_type=jnp.float32)
             return o.astype(v.dtype).reshape(b, self.num_heads, t, hw, -1)

@@ -44,8 +44,10 @@ def init_cache(model, variables, batch_size: int, dtype=jnp.float32,
                 break
         if name == "act":
             return jnp.ones(leaf.shape, leaf.dtype)
-        if name == "frames":
-            return jnp.zeros(leaf.shape, leaf.dtype)
+        if name == "bias":
+            # decode-attention slot-validity bias (attention.decode_tables):
+            # -inf = no ring slot has been written yet
+            return jnp.full(leaf.shape, -jnp.inf, leaf.dtype)
         return jnp.zeros(leaf.shape, leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(materialize, shapes)

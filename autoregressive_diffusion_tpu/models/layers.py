@@ -280,25 +280,29 @@ class MPCausalConv3d(nn.Module):
                 if update_cache else cache)
 
         # conv over strictly past frames: drop the last frame, VALID in time.
-        # The (kt_ctx, kh, kw) 3D conv is expressed as a sum of kt_ctx 2D
-        # convs on shifted frame windows (same math, different summation
-        # order only). The 5D-kernel conv partitioner cannot move the w3
-        # kernel between the shardings the jvp/transpose passes want under a
-        # (data, seq, model) mesh and falls back to SPMD involuntary full
-        # rematerialization at every Block; the 2D form never presents a
-        # 5D kernel, so the sharded train step compiles clean.
+        # The (kt_ctx, kh, kw) 3D conv is expressed as ONE 2D conv over the
+        # kt_ctx shifted frame windows CONCATENATED on channels, with the
+        # kernel stacked on its input-channel axis (the tap sum moves inside
+        # the contraction -- same math). Two reasons over a plain 3D conv:
+        #   * the 5D-kernel conv partitioner cannot move w3 between the
+        #     shardings the jvp/transpose passes want under a
+        #     (data, seq, model) mesh and falls back to SPMD involuntary full
+        #     rematerialization at every Block; a 4D kernel never does;
+        #   * one (kt_ctx*cin)->cout conv is a single dispatch with a 2x
+        #     contraction dim -- on the op-count-bound batch-1 decode path a
+        #     per-tap conv loop measurably costs throughput, and at small cin
+        #     the wider contraction tiles the MXU better.
         x_ctx = ctx_in[:, :-1]
         t_out = x_ctx.shape[1] - kt_ctx + 1
-        ctx = None
-        for j in range(kt_ctx):
-            xs = x_ctx[:, j:j + t_out]
-            y3 = jax.lax.conv_general_dilated(
-                xs.reshape((-1,) + xs.shape[2:]), w3[j],
-                window_strides=(1, 1),
-                padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            y3 = y3.reshape(xs.shape[:2] + y3.shape[1:])
-            ctx = y3 if ctx is None else ctx + y3
+        xs = jnp.concatenate([x_ctx[:, j:j + t_out] for j in range(kt_ctx)],
+                             axis=-1)
+        wcat = w3.transpose(1, 2, 0, 3, 4).reshape(
+            kh, kw, kt_ctx * cin, self.out_channels)
+        ctx = jax.lax.conv_general_dilated(
+            xs.reshape((-1,) + xs.shape[2:]), wcat, window_strides=(1, 1),
+            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ctx = ctx.reshape((b, t_out) + ctx.shape[1:])
 
         if mode == "train":
             ctx = jnp.concatenate([ctx, ctx], axis=1)  # duplicate to both halves

@@ -92,6 +92,11 @@ def main():
         print(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
 
     hlo = compiled.as_text()
+    dump = os.environ.get("AD_DUMP_HLO")
+    if dump:
+        with open(dump, "w") as fh:
+            fh.write(hlo)
+        print(f"# wrote compiled HLO to {dump}")
     n_fusion = len(re.findall(r"^\s*(?:ROOT\s+)?%?fusion[.\d]*\s*=", hlo,
                               re.M))
     n_custom = len(re.findall(r"custom-call", hlo))
