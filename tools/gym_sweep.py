@@ -1,0 +1,47 @@
+"""Gym-flagship fused-conv policy sweep (round-4 MFU push).
+
+Round 4's XLA-path changes (context conv as one channel-concatenated 2D
+conv, packed-i32 tap rolls in the Pallas kernels) moved the CS-scale
+fused/XLA balance to a wash (tools/cs_sweep.py) -- this re-derives the
+gym-scale policy the same way: run `bench.py --train-only` once per
+gating policy, one PROCESS per cell (in-process env flips + clear_caches
+wedge the tunneled runtime; see cs_sweep.py), and print the samples/s
+table that decides the shipped AD_TPU_FUSED_MAX_CP default.
+
+Usage: python tools/gym_sweep.py
+"""
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CELLS = [
+    ("default (Cp<=96 fused)", {}),
+    ("all-XLA", {"AD_TPU_FUSED_CONV": "0"}),
+    ("Cp<=64", {"AD_TPU_FUSED_MAX_CP": "64"}),
+    ("Cp<=192", {"AD_TPU_FUSED_MAX_CP": "192"}),
+]
+
+
+def main():
+    for i, (name, env) in enumerate(CELLS):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--train-only"],
+            env={**os.environ, **env}, capture_output=True, text=True)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode or not line:
+            print(f"{name:24s} FAILED: exit {r.returncode} "
+                  f"{r.stderr.strip().splitlines()[-1] if r.stderr else ''}",
+                  flush=True)
+        else:
+            import json
+            v = json.loads(line[-1])["value"]
+            print(f"{name:24s} {v:7.2f} samples/s", flush=True)
+        if i + 1 < len(CELLS):
+            time.sleep(150)  # relay grant reap before the next register
+
+
+if __name__ == "__main__":
+    main()
