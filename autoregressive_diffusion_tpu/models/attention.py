@@ -80,7 +80,12 @@ def decode_tables(kbuf: jax.Array, vbuf: jax.Array, new_frames,
     this hoist; the ring cache's dynamic slot positions broke the pattern
     (the compiled sampler re-dequantized + re-roped the full buffer and
     re-applied the validity select EVERY denoiser call -- 15.4 -> 13.6
-    frames/s measured), so the hoist is now structural."""
+    frames/s measured), so the hoist is now structural.
+
+    Memory cost: kr/vr duplicate the ring in the compute dtype (bf16), so
+    with int8 k/v buffers the per-layer attention-cache footprint is
+    1 (int8 k/v) + 4 (bf16 kr/vr) bytes/elem -- a deliberate HBM-for-speed
+    trade on the batch-1 rollout path."""
     b, m, f, hw, c = kbuf.shape
     slot_pos = ring_slot_positions(new_frames, f)
     kc = _dequant_kv(kbuf, dtype)
@@ -179,8 +184,12 @@ class VideoAttention(nn.Module):
             elif update_cache and cache is None:
                 # create a fresh preallocated ring buffer holding the new
                 # frames; int8 KV under decode quantization (K/V are
-                # pixel-normed, so a fixed scale suffices) -- halves KV HBM
-                # reads vs bf16 on the weight/cache-read-bound batch-1 rollout
+                # pixel-normed, so a fixed scale suffices). NOTE: since the
+                # decode fast path reads the precomputed bf16 kr/vr tables
+                # (decode_tables), int8 now mainly shrinks the k/v ring
+                # buffers themselves; the per-layer attention-cache HBM
+                # footprint is k/v (int8) + kr/vr (bf16), measured a net win
+                # on the weight/cache-read-bound batch-1 rollout
                 f = self.max_frames
                 cdtype = jnp.int8 if self.quant else k.dtype
                 kbuf = jnp.zeros((b, self.num_heads, f, hw, k.shape[-1]), cdtype)

@@ -13,7 +13,7 @@ samplers (cache shapes are static, so the jit cache hits every frame).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -117,17 +117,29 @@ def edm_sampler(model, variables, cache, key, shape, conditioning=None,
     return x_next, mses, mses_pred, cache
 
 
+@lru_cache(maxsize=32)
+def _jitted_sampler(model, **static_kwargs):
+    """Module-level cache of jitted per-frame samplers keyed on (model,
+    scalar sampler kwargs). A fresh `jax.jit(partial(...))` per generate()
+    call would be a new function identity each time -> in-process retrace on
+    every call (only the persistent compile cache saved it). Flax modules
+    are frozen dataclasses, hence hashable; sampler kwargs are scalars."""
+    return jax.jit(partial(edm_sampler, model, **static_kwargs),
+                   static_argnames=("shape",))
+
+
 def generate(model, variables, cache, key, n_frames: int, shape,
              conditioning=None, **sampler_kwargs):
     """Autoregressive rollout: sample `n_frames` frames, each entering the
     cache (reference sampler_training_callback, sampler.py:130-135).
 
     Returns (frames (b, n_frames, h, w, c), cache). The per-frame sampler is
-    jitted once; all subsequent frames reuse the compiled step because cache
-    shapes are fixed.
+    jitted once PER (model, kwargs) ACROSS calls (module-level lru_cache, so
+    a second generate() call compiles nothing); all frames within a call
+    reuse the compiled step because cache shapes are fixed.
     """
-    fn = jax.jit(partial(edm_sampler, model, num_steps=sampler_kwargs.pop("num_steps", 32),
-                         **sampler_kwargs), static_argnames=("shape",))
+    sampler_kwargs.setdefault("num_steps", 32)
+    fn = _jitted_sampler(model, **sampler_kwargs)
     frames = []
     for _ in range(n_frames):
         key, k = jax.random.split(key)

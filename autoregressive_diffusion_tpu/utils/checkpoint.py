@@ -125,8 +125,21 @@ def _ckpt_dir(path: str) -> str:
     return os.path.abspath(path)
 
 
+_PENDING_SAVE: Optional["threading.Thread"] = None
+
+
+def wait_for_pending_saves() -> None:
+    """Join the in-flight background checkpoint write, if any. Called
+    automatically by save/restore_train_state; call it explicitly before
+    process exit if the last save used block=False."""
+    global _PENDING_SAVE
+    if _PENDING_SAVE is not None:
+        _PENDING_SAVE.join()
+        _PENDING_SAVE = None
+
+
 def save_train_state(ckpt_dir: str, step: int, state, extra: Optional[dict] = None,
-                     keep: Optional[int] = None):
+                     keep: Optional[int] = None, block: bool = True):
     """Orbax checkpoint of the TrainState; `extra` (loss history etc.) is a
     schema-free pytree, msgpack-serialized so its structure can change
     between save and resume (e.g. a growing loss list).
@@ -134,22 +147,48 @@ def save_train_state(ckpt_dir: str, step: int, state, extra: Optional[dict] = No
     `keep` -- if given, prune all but the newest `keep` step_* directories
     after a successful save (a full TrainState of the 46M gym model is
     ~800 MB; the reference keeps one rolling file, torch.save over the same
-    name, gym_train.py:132-141 -- rotation is the crash-safe equivalent)."""
-    import orbax.checkpoint as ocp
+    name, gym_train.py:132-141 -- rotation is the crash-safe equivalent).
+
+    `block=False` -- snapshot the state to host in the foreground (a no-op
+    when the caller already passes numpy leaves, e.g. via gather_to_host),
+    then run the disk write + rotation on a daemon-less background thread.
+    Training resumes immediately; at most one write is in flight (a new
+    save joins the previous one first). The round-4 CS run stalled ~120 s
+    per checkpoint on the synchronous write (logs/cs_synth_r4.log step
+    2020); this hides it behind subsequent train steps. Keep block=True on
+    the SIGTERM path so the process does not exit mid-write."""
+    import threading
+
+    wait_for_pending_saves()
     path = os.path.join(_ckpt_dir(ckpt_dir), f"step_{step:09d}")
     blob = serialization.msgpack_serialize(
         jax.tree.map(np.asarray, extra or {}))
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, dict(state=jax.tree.map(np.asarray, state),
-                              extra_blob=np.frombuffer(blob, np.uint8).copy()),
-                   force=True)
-    if keep is not None and keep > 0:
-        d = _ckpt_dir(ckpt_dir)
-        steps = sorted(int(m.group(1)) for n in os.listdir(d)
-                       if (m := re.fullmatch(r"step_(\d+)", n)))
-        for s in steps[:-keep]:
-            shutil.rmtree(os.path.join(d, f"step_{s:09d}"),
-                          ignore_errors=True)
+    # host snapshot happens in the FOREGROUND either way: jax.Arrays may be
+    # donated/overwritten by the very next train step, so the background
+    # thread must only ever touch numpy
+    host_state = jax.tree.map(np.asarray, state)
+
+    def _write():
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, dict(state=host_state,
+                                  extra_blob=np.frombuffer(blob, np.uint8).copy()),
+                       force=True)
+        if keep is not None and keep > 0:
+            d = _ckpt_dir(ckpt_dir)
+            steps = sorted(int(m.group(1)) for n in os.listdir(d)
+                           if (m := re.fullmatch(r"step_(\d+)", n)))
+            for s in steps[:-keep]:
+                shutil.rmtree(os.path.join(d, f"step_{s:09d}"),
+                              ignore_errors=True)
+
+    if block:
+        _write()
+    else:
+        global _PENDING_SAVE
+        t = threading.Thread(target=_write, name=f"ckpt-write-{step}")
+        t.start()
+        _PENDING_SAVE = t
 
 
 def restore_train_state(ckpt_dir: str, step: int, state_template,
@@ -161,6 +200,7 @@ def restore_train_state(ckpt_dir: str, step: int, state_template,
     `extra_template` is accepted for backward compatibility but ignored --
     extra restores schema-free from its msgpack blob."""
     import orbax.checkpoint as ocp
+    wait_for_pending_saves()
     path = os.path.join(_ckpt_dir(ckpt_dir), f"step_{step:09d}")
     host_template = jax.tree.map(lambda x: np.asarray(jax.device_get(x)),
                                  state_template)
@@ -174,6 +214,7 @@ def restore_train_state(ckpt_dir: str, step: int, state_template,
 def latest_step(ckpt_dir: str) -> Optional[int]:
     """Regex scan for the newest checkpoint (reference
     torch_utils/distributed.py:118-139 CheckpointIO.load_latest)."""
+    wait_for_pending_saves()
     d = _ckpt_dir(ckpt_dir)
     if not os.path.isdir(d):
         return None

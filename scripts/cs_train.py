@@ -262,9 +262,11 @@ def main():
             # gather_to_host; only process 0 writes
             host_state = gather_to_host(state)
             if is_p0:
+                # block=False: disk write runs on a background thread while
+                # training continues (round-4 sync saves stalled ~120 s/save)
                 save_train_state(args.ckpt_dir, int(state.step), host_state,
-                                 {"losses": losses}, keep=3)
-                print("# checkpoint saved")
+                                 {"losses": list(losses)}, keep=3, block=False)
+                print("# checkpoint save started (async)")
         if stop_requested:
             if is_p0:
                 drain()

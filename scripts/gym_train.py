@@ -69,7 +69,8 @@ def main():
     from autoregressive_diffusion_tpu.utils import (latest_step, load_model,
                                                     restore_train_state,
                                                     save_model,
-                                                    save_train_state)
+                                                    save_train_state,
+                                                    wait_for_pending_saves)
     from autoregressive_diffusion_tpu.models.vae import latents_to_frames
     from autoregressive_diffusion_tpu.sampling import make_sampler_callback
     from autoregressive_diffusion_tpu.utils.plotting import \
@@ -229,13 +230,15 @@ def main():
             unet_params=n_params)
         return state
 
-    def do_checkpoint(state, i):
+    def do_checkpoint(state, i, block=False):
         save_model(os.path.join(args.ckpt_dir, f"unet_{n_params//10**6}M.ad"),
                    dict(unet_cfg.__dict__),
                    {"params": jax.device_get(state.params),
                     "buffers": jax.device_get(state.buffers)})
+        # periodic saves write on a background thread (block=False); the
+        # SIGTERM/final paths pass block=True so the process exits cleanly
         save_train_state(args.ckpt_dir, int(state.step), jax.device_get(state),
-                         {"losses": losses_history}, keep=3)
+                         {"losses": losses_history}, keep=3, block=block)
         print(f"# checkpoint at step {i}", flush=True)
 
     if loader is None:
@@ -292,9 +295,10 @@ def main():
             i = i_new
             if stop_requested:
                 flush_pending()
-                do_checkpoint(state, i)
+                do_checkpoint(state, i, block=True)
                 break
         replay.stop()
+        wait_for_pending_saves()
         return
 
     for i, (latents, actions) in enumerate(loader, start=start):
@@ -319,8 +323,9 @@ def main():
             do_checkpoint(state, i)
         if stop_requested:
             flush_pending()
-            do_checkpoint(state, i + 1)
+            do_checkpoint(state, i + 1, block=True)
             break
+    wait_for_pending_saves()
 
 
 if __name__ == "__main__":

@@ -155,6 +155,33 @@ class TestTrainStateCheckpoint:
         assert all(isinstance(l, np.ndarray) or np.isscalar(l)
                    for l in jax.tree.leaves(restored.params))
 
+    def test_async_save_restore_round_trip(self, tiny, tmp_path):
+        """block=False runs the disk write on a background thread (round-4
+        sync saves stalled CS training ~120 s); restore/latest_step must
+        join the in-flight write and see identical data. The foreground
+        host snapshot means mutating the live state after save returns
+        cannot corrupt the checkpoint (donation safety)."""
+        from autoregressive_diffusion_tpu.train import (create_train_state,
+                                                        make_optimizer)
+        from autoregressive_diffusion_tpu.utils import (latest_step,
+                                                        restore_train_state,
+                                                        save_train_state,
+                                                        wait_for_pending_saves)
+
+        cfg, model, variables = tiny
+        tx = make_optimizer(learning_rate=1e-3)
+        state = create_train_state(model, variables, tx)
+        expect = jax.device_get(state)
+        save_train_state(str(tmp_path), 3, jax.device_get(state),
+                         {"losses": [0.5]}, keep=2, block=False)
+        assert latest_step(str(tmp_path)) == 3  # waits for the write
+        restored, extra = restore_train_state(str(tmp_path), 3, state)
+        assert list(extra["losses"]) == [0.5]
+        for a, b in zip(jax.tree.leaves(expect.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        wait_for_pending_saves()  # idempotent when nothing is pending
+
     def test_save_rotation_keeps_newest(self, tiny, tmp_path):
         """keep=N prunes all but the newest N step dirs (a full TrainState is
         ~800 MB at gym scale; unbounded step dirs would eat the disk on a

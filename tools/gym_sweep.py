@@ -33,7 +33,7 @@ def main():
         line = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if r.returncode or not line:
             print(f"{name:24s} FAILED: exit {r.returncode} "
-                  f"{r.stderr.strip().splitlines()[-1] if r.stderr else ''}",
+                  f"{(r.stderr.strip().splitlines() or [''])[-1]}",
                   flush=True)
         else:
             import json
