@@ -123,22 +123,56 @@ def merge_shard_index(out_dir: str, shard_dirs) -> str:
     return out
 
 
-def streaming_dataset(remote: str, local: str, clip_size: int = 64,
-                      key: str = "latents"):
-    """MosaicML streaming path (requires `streaming`; reference
-    cs_dataloading.py:20-27). Yields the same dict windows."""
-    from streaming import StreamingDataset  # optional dependency
+# the reference's MDS column names (dataset_processing_counter_strike.py:90)
+# mapped onto this repo's batch keys
+_MDS_KEY_ALIASES = {"latents": ("mean",), "frames": ("frames",),
+                    "actions": ("action",)}
 
-    ds = StreamingDataset(local=local, remote=remote, shuffle=True,
-                          batch_size=1)
+
+def _mds_column(sample: dict, key: str):
+    if key in sample:
+        return np.asarray(sample[key])
+    for alias in _MDS_KEY_ALIASES.get(key, ()):
+        if alias in sample:
+            return np.asarray(sample[alias])
+    return None
+
+
+def streaming_dataset(remote: Optional[str], local: str, clip_size: int = 64,
+                      key: str = "latents", shuffle: bool = True):
+    """MosaicML streaming path (reference cs_dataloading.py:20-27, :53-70).
+    Yields the same dict windows as LocalLatentShards.
+
+    Uses `streaming.StreamingDataset` when the library is installed (object
+    stores, distributed shuffles); otherwise falls back to the vendored
+    local MDS reader (data/mds.py) -- `remote` must then be None or a local
+    path equal to `local`. Column names follow the reference's schema
+    ('mean'/'action') with this repo's 'latents'/'actions' accepted too."""
+    try:
+        from streaming import StreamingDataset  # optional dependency
+        ds = StreamingDataset(local=local, remote=remote, shuffle=shuffle,
+                              batch_size=1)
+    except ImportError:
+        if remote not in (None, local):
+            raise ImportError(
+                "remote MDS streams need the `streaming` package; the "
+                "vendored reader (data/mds.py) only reads local datasets")
+        from .mds import MDSLocalReader
+        ds = MDSLocalReader(local, shuffle=shuffle)
     for sample in ds:
-        data = np.frombuffer(sample[key], dtype=np.float16) \
-            if isinstance(sample[key], (bytes, bytearray)) else np.asarray(sample[key])
+        data = _mds_column(sample, key)
+        if data is None:
+            raise KeyError(f"MDS sample has none of "
+                           f"{(key,) + _MDS_KEY_ALIASES.get(key, ())}; "
+                           f"columns: {sorted(sample)}")
+        if isinstance(data, (bytes, bytearray)):
+            data = np.frombuffer(data, dtype=np.float16)
+        actions = _mds_column(sample, "actions")
         t = data.shape[0]
         for s in range(0, t - clip_size + 1, clip_size):
             item = {key: data[s:s + clip_size]}
-            if "actions" in sample:
-                item["actions"] = np.asarray(sample["actions"])[s:s + clip_size]
+            if actions is not None:
+                item["actions"] = actions[s:s + clip_size]
             yield item
 
 

@@ -58,6 +58,11 @@ def main():
                     help="latent frames (reference cs_train.py:63)")
     ap.add_argument("--shards", default=None,
                     help="local .npz latent shard dir (cs_data.py)")
+    ap.add_argument("--mds", default=None,
+                    help="MDS dataset dir (MosaicML streaming format, the "
+                         "reference's CS data path; read via `streaming` "
+                         "when installed, else the vendored data/mds.py "
+                         "reader)")
     ap.add_argument("--tp", type=int, default=1, help="tensor parallelism")
     ap.add_argument("--fsdp", action="store_true",
                     help="fully-sharded data parallelism: shard every large "
@@ -153,7 +158,17 @@ def main():
         print(f"# resumed at step {start}")
 
     synth_fn = None
-    if args.synthetic or args.shards is None:
+    if args.mds is not None:
+        from autoregressive_diffusion_tpu.data import streaming_dataset
+
+        def _mds_epochs():  # re-open per epoch: the windows generator is finite
+            while True:
+                yield from streaming_dataset(None, args.mds, clip_size=t,
+                                             shuffle=True)
+        loader = batched_latents(_mds_epochs(), b,
+                                 normalize=(args.lat_mean, args.lat_std),
+                                 num_workers=0)
+    elif args.synthetic or args.shards is None:
         # Device-generated synthetic latents: the batch never crosses the
         # host<->chip boundary (the 1-core host cannot synthesize + upload
         # 16 MB/step at chip rate -- same lesson as the gym run's
