@@ -271,15 +271,14 @@ class VideoAttention(nn.Module):
             # fresh prefill: Pallas frame-causal flash kernel
             o = causal_frame_attention(qr, kr, vr, t, hw)
         elif (cache is not None and t > 1 and isinstance(frames, int)
-              and frames + t <= cache["k"].shape[2]
               and flash_supported(t * hw, qr.shape[-1])):
             # warm-cache prefill: splash kernel over (new frames x full
             # buffer) with a STATIC frame offset (threaded via the model's
             # `prefill_offset` hint) -- avoids the dense (t*hw)x(f*hw)
             # fallback at CS scale (reference attention_modules.py:72-75).
-            # Its mask assumes slot == absolute position, which holds only
-            # before the ring wraps (frames + t <= capacity); a wrapped warm
-            # prefill takes the dense fallback below.
+            # PrefillMask maps ring slots to absolute positions, so this
+            # covers the WRAPPED ring (frames + t > capacity) too: the mask
+            # follows the same slot->position rule as ring_slot_positions.
             o = prefill_cache_attention(qr, kr, vr, t, tk, frames, hw)
         else:
             mask = jnp.repeat(jnp.repeat(fmask, hw, axis=0), hw, axis=1)

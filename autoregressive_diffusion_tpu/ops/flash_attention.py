@@ -94,12 +94,20 @@ class CausalFrameMask(mask_lib._ComputableMask):
 
 
 class PrefillMask(mask_lib._ComputableMask):
-    """Warm-cache prefill mask: `t_new` query frames entering a cache that
-    already holds `offset` frames, attending frame-causally over the FULL
-    `f_total`-frame KV buffer (absolute positions; unwritten slots beyond
-    offset+t_new are masked out by causality). Rectangular (t_new*hw,
-    f_total*hw). `offset` must be static -- one kernel per offset bucket,
-    like the reference's lru_cache'd masks per shape."""
+    """Warm-cache prefill mask: `t_new` query frames entering a ring cache
+    that already holds `offset` frames, attending frame-causally over the
+    FULL `f_total`-slot KV buffer. Rectangular (t_new*hw, f_total*hw).
+    `offset` must be static -- one kernel per offset bucket, like the
+    reference's lru_cache'd masks per shape.
+
+    Handles the WRAPPED ring too (offset + t_new > f_total): after the new
+    frames are ring-written, slot s holds the newest absolute position
+    congruent to s mod f_total, i.e. p(s) = end-1 - ((end-1-s) % f_total)
+    with end = offset + t_new (matching models/attention.py
+    ring_slot_positions). A query at absolute position offset + qf sees
+    slot s iff p(s) <= offset + qf and p(s) >= 0. When the ring has not
+    wrapped this reduces exactly to the plain absolute-position causal
+    mask (p(s) = s for written slots, unwritten slots come out negative)."""
 
     def __init__(self, t_new: int, f_total: int, offset: int,
                  tokens_per_frame: int, shard_count: int = 1):
@@ -108,9 +116,12 @@ class PrefillMask(mask_lib._ComputableMask):
         self.offset = offset
         self.tokens_per_frame = tokens_per_frame
         hw = tokens_per_frame
+        end = offset + t_new
 
         def fn(q_ids, kv_ids):
-            return q_ids // hw + offset >= kv_ids // hw
+            s = kv_ids // hw
+            p = end - 1 - ((end - 1 - s) % f_total)
+            return (p <= q_ids // hw + offset) & (p >= 0)
 
         super().__init__(shape=(t_new * hw, f_total * hw), mask_function=fn,
                          shard_count=shard_count)
