@@ -209,13 +209,39 @@ def load_lpips_params(paths: tuple) -> dict:
     return lpips_params_from_torch(*sds)
 
 
+_CALIBRATED_NPZ = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "saved_models",
+    "lpips_alex_calibrated.npz")
+
+
+@functools.lru_cache(maxsize=1)
+def calibrated_lpips_params(path: str = "") -> dict:
+    """The committed offline-calibrated AlexNet-LPIPS params
+    (tools/calibrate_lpips.py): exact lpips architecture, fixed-seed
+    He-init backbone, linear heads calibrated for equal per-layer
+    contribution on a synthetic distortion corpus. Under the reference's
+    log(lpips + eps) reduction the global scale is gradient-free, so the
+    per-layer weighting is the entire calibration surface."""
+    z = np.load(path or _CALIBRATED_NPZ)
+    return {"convs": [(z[f"conv{i}_w"], z[f"conv{i}_b"]) for i in range(5)],
+            "lins": [z[f"lin{i}"] for i in range(5)]}
+
+
 def perceptual_loss(recon: jax.Array, frames: jax.Array,
                     seed: int = 0) -> jax.Array:
-    """What the VAE training scripts call: exact AlexNet-LPIPS when
-    AD_TPU_LPIPS_WEIGHTS points at torch checkpoint file(s), otherwise the
-    random-feature substitute (documented divergence)."""
+    """What the VAE training scripts call, in preference order:
+      1. exact trained AlexNet-LPIPS when AD_TPU_LPIPS_WEIGHTS points at
+         torch checkpoint file(s) (weight-exact reference parity);
+      2. the committed offline-calibrated AlexNet-LPIPS
+         (calibrated_lpips_params) for 3-channel inputs;
+      3. the random-feature substitute (non-RGB inputs, or
+         AD_TPU_LPIPS_CALIBRATED=0)."""
     weights = os.environ.get("AD_TPU_LPIPS_WEIGHTS", "")
     if weights:
         params = load_lpips_params(tuple(p for p in weights.split(",") if p))
         return alexnet_lpips_loss(recon, frames, params)
+    if (frames.shape[-1] == 3 and os.path.exists(_CALIBRATED_NPZ)
+            and os.environ.get("AD_TPU_LPIPS_CALIBRATED", "1") != "0"):
+        return alexnet_lpips_loss(recon, frames, calibrated_lpips_params())
     return random_feature_perceptual_loss(recon, frames, seed=seed)

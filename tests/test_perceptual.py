@@ -138,7 +138,10 @@ class TestWeightConverter:
 
 class TestDispatcher:
     def test_fallback_is_random_feature(self, monkeypatch):
+        """With the calibrated artifact disabled, RGB falls back to the
+        random-feature metric (and non-RGB always does)."""
         monkeypatch.delenv("AD_TPU_LPIPS_WEIGHTS", raising=False)
+        monkeypatch.setenv("AD_TPU_LPIPS_CALIBRATED", "0")
         rng = np.random.default_rng(7)
         recon = jnp.asarray(rng.uniform(-1, 1, (1, 2, 32, 32, 3)), jnp.float32)
         frames = jnp.asarray(rng.uniform(-1, 1, (1, 2, 32, 32, 3)), jnp.float32)
@@ -163,3 +166,35 @@ class TestDispatcher:
         want = float(alexnet_lpips_loss(recon, frames,
                                         _params_from(convs, lins)))
         assert abs(got - want) < 1e-6
+
+
+def test_calibrated_lpips_params_load_and_behave():
+    """The committed offline-calibrated LPIPS artifact
+    (tools/calibrate_lpips.py): loads, is exact-architecture compatible,
+    distances are positive, increase with noise strength, and zero for
+    identical inputs; perceptual_loss dispatches to it for RGB inputs."""
+    import numpy as np
+
+    from autoregressive_diffusion_tpu.train.perceptual import (
+        alexnet_lpips_distance, calibrated_lpips_params, perceptual_loss,
+        random_feature_perceptual_loss)
+
+    params = calibrated_lpips_params()
+    assert len(params["convs"]) == 5 and len(params["lins"]) == 5
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    d0 = np.asarray(alexnet_lpips_distance(x, x, params))
+    assert np.all(d0 < 1e-8)
+    n1 = x + 0.05 * jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    n2 = x + 0.2 * jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    d1 = np.asarray(alexnet_lpips_distance(x, jnp.clip(n1, -1, 1), params))
+    d2 = np.asarray(alexnet_lpips_distance(x, jnp.clip(n2, -1, 1), params))
+    assert np.all(d1 > 0) and np.all(d2 > d1)
+
+    # dispatcher: RGB goes through the calibrated metric (not the
+    # random-feature fallback)
+    fr = x[None]  # (b=1, t=2, h, w, 3)
+    rc = jnp.clip(n1, -1, 1)[None]
+    pl = float(perceptual_loss(rc, fr))
+    rf = float(random_feature_perceptual_loss(rc, fr))
+    assert np.isfinite(pl) and pl != rf
