@@ -125,6 +125,14 @@ def main():
                          "long horizons but is out of the (random-action) "
                          "training distribution; 'random' matches training "
                          "but only short episodes survive")
+    # sampler knobs (drift sweep, VERDICT r4 #3). Defaults keep the r4
+    # protocol; the reference's own rollout recipe is sigma_min=0.4, rho=2,
+    # num_steps=64, S_churn=0, guidance=1 (generation_code.py:94)
+    ap.add_argument("--guidance", type=float, default=1.0)
+    ap.add_argument("--s-churn", type=float, default=20.0)
+    ap.add_argument("--sigma-max", type=float, default=80.0)
+    ap.add_argument("--sigma-min", type=float, default=0.002)
+    ap.add_argument("--rho", type=float, default=7.0)
     args = ap.parse_args()
 
     import jax
@@ -165,8 +173,9 @@ def main():
     prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True,
                               prefill_offset=0))
     sampler = jax.jit(
-        partial(edm_sampler, model, num_steps=args.num_steps, sigma_max=80.0,
-                rho=7.0, S_churn=20.0),
+        partial(edm_sampler, model, num_steps=args.num_steps,
+                sigma_max=args.sigma_max, sigma_min=args.sigma_min,
+                rho=args.rho, S_churn=args.s_churn, guidance=args.guidance),
         static_argnames=("shape",))
 
     key = jax.random.PRNGKey(args.seed)

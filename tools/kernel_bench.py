@@ -57,8 +57,9 @@ def xla_gated_conv(x, w2, w3, cvec, gates, silu_in=True):
     b, t2, h, w, cin = x.shape
     t = t2 // 2
     cout = w2.shape[-1]
-    if cvec is not None:
-        x = x * cvec[:, :, None, None, :].astype(x.dtype)
+    if cvec is not None:  # (b, t, 2, cin) fused layout -> (b, 2t, cin)
+        cv = cvec.transpose(0, 2, 1, 3).reshape(b, t2, cin)
+        x = x * cv[:, :, None, None, :].astype(x.dtype)
     if silu_in:
         x = jax.nn.silu(x) / 0.596
     y2d = jax.lax.conv_general_dilated(
@@ -81,7 +82,37 @@ def xla_gated_conv(x, w2, w3, cvec, gates, silu_in=True):
     return (y2d + (ctx - y2d) * g) * s
 
 
-def bench_shape(name, b, t, h, w, cin, cout, iters=30):
+def _marginal(step, x0, target_s=2.0):
+    """On-device chained marginal-cost timing: a DYNAMIC-length
+    lax.fori_loop runs n data-dependent iterations of `step` in ONE
+    dispatch (one compile; host/tunnel RTT jitter subtracts out in the
+    marginal), each run ends in a forced host fetch, and n is auto-scaled
+    so the marginal work is ~target_s seconds -- tunnel fetch-time jitter
+    is tens of ms, so the signal must be O(seconds) (same recipe as
+    bench.py)."""
+    import time
+
+    @jax.jit
+    def chain(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, xx: step(xx), x)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = chain(x0, jnp.int32(n))
+        np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
+        return time.perf_counter() - t0
+
+    run(2)  # compile
+    rough = max(run(16) / 16, 1e-6)
+    n_long = int(min(max(target_s / rough, 64), 20000))
+    n_short = max(n_long // 8, 1)
+    run(n_short)
+    best = min((run(n_long) - run(n_short)) / (n_long - n_short)
+               for _ in range(2))
+    return best
+
+
+def bench_shape(name, b, t, h, w, cin, cout, iters=200):
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 6)
     dt = jnp.bfloat16
@@ -93,36 +124,49 @@ def bench_shape(name, b, t, h, w, cin, cout, iters=30):
     xp = jax.jit(lambda a: fc.pack_x(a, h, w))(x)
 
     @jax.jit
-    def fwd(xp, w2, w3, cv, gates):
-        return fc.fused_gated_conv(xp, w2, w3, cv, gates, h, w, True, True)
+    def fwd(xp):
+        out = fc.fused_gated_conv(xp, w2, w3, cv, gates, h, w, True, True)
+        return xp * (1 + 1e-6 * jnp.mean(out.astype(jnp.float32))
+                     ).astype(xp.dtype)
+
+    def _consume(xp, g):
+        # keep ALL grads live (weight grads would otherwise be DCE'd in the
+        # XLA cell, skewing the comparison) while chaining on dx
+        s = sum(jnp.sum(t.astype(jnp.float32)) for t in g[1:])
+        return xp + 1e-6 * g[0].astype(xp.dtype) \
+            + (1e-20 * s).astype(xp.dtype)
 
     @jax.jit
-    def fwdbwd(xp, w2, w3, cv, gates):
-        def loss(*a):
-            return jnp.sum(fc.fused_gated_conv(*a, h, w, True, True)
+    def fwdbwd(xp):
+        def loss(a, *ws):
+            return jnp.sum(fc.fused_gated_conv(a, *ws, h, w, True, True)
                            .astype(jnp.float32))
-        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xp, w2, w3, cv, gates)
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xp, w2, w3, cv, gates)
+        return _consume(xp, g)
 
     @jax.jit
-    def xfwd(x, w2, w3, cv, gates):
-        return xla_gated_conv(x, w2, w3, cv, gates)
+    def xfwd(x):
+        out = xla_gated_conv(x, w2, w3, cv, gates)
+        return x * (1 + 1e-6 * jnp.mean(out.astype(jnp.float32))
+                    ).astype(x.dtype)
 
     @jax.jit
-    def xfwdbwd(x, w2, w3, cv, gates):
-        def loss(*a):
-            return jnp.sum(xla_gated_conv(*a).astype(jnp.float32))
-        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w2, w3, cv, gates)
+    def xfwdbwd(x):
+        def loss(a, *ws):
+            return jnp.sum(xla_gated_conv(a, *ws).astype(jnp.float32))
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w2, w3, cv, gates)
+        return _consume(x, g)
 
     rows = []
     fl = conv_flops(b, t, h, w, cin, cout)
-    for tag, fn, args, mult in (
-            ("pallas fwd", fwd, (xp, w2, w3, cv, gates), 1),
-            ("pallas f+b", fwdbwd, (xp, w2, w3, cv, gates), 3),
-            ("xla fwd", xfwd, (x, w2, w3, cv, gates), 1),
-            ("xla f+b", xfwdbwd, (x, w2, w3, cv, gates), 3)):
-        r = benchmark(fn, *args, warmup=2, iters=iters)
-        us = r["mean_s"] * 1e6
-        tf = mult * fl / r["mean_s"] / 1e12
+    for tag, fn, x0, mult in (
+            ("pallas fwd", fwd, xp, 1),
+            ("pallas f+b", fwdbwd, xp, 3),
+            ("xla fwd", xfwd, x, 1),
+            ("xla f+b", xfwdbwd, x, 3)):
+        sec = _marginal(fn, x0)
+        us = sec * 1e6
+        tf = mult * fl / sec / 1e12
         rows.append((name, tag, us, tf, 100 * tf / PEAK_TFLOPS))
         print(f"{name:18s} {tag:10s} {us:9.1f} us  {tf:7.2f} TF/s "
               f"({100 * tf / PEAK_TFLOPS:5.1f}% peak)", flush=True)
@@ -132,7 +176,7 @@ def bench_shape(name, b, t, h, w, cin, cout, iters=30):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", default=None)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=200)
     args = ap.parse_args()
     dev = jax.devices()[0]
     print(f"# device: {dev.platform}:{dev.device_kind}", flush=True)
