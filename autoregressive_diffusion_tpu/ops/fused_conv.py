@@ -143,7 +143,8 @@ def _bwd_vmem_bytes(tb: int, h: int, w: int, cp: int, cop: int) -> int:
     outb = (tb * 2 * cp * l * bf         # dx
             + 3 * 9 * cop * cp * f32     # dw2t / dw3at / dw3bt
             + tb * 2 * cp * f32)         # dcv
-    scratch = (9 * cop * l + cop * l + 3 * cp * l + 2 * cp * l) * f32
+    scratch = (2 * 9 * cop * l + 2 * cop * l
+               + 3 * cp * l + 2 * cp * l) * f32
     return dbuf * (inb + outb) + scratch
 
 
@@ -268,6 +269,26 @@ def _stack_into(scr, base_row, xt, w: int, hw: int, masks):
             shifted.astype(scr.dtype))
 
 
+def _stack_pair_into(scr, xt2, w: int, hw: int, l: int, masks2):
+    """Stream-PAIRED tap stack: xt2 is the lane-concat of both DART halves'
+    padded frames (Cp, 2*Lp); each tap does ONE roll over the pair and the
+    two output windows (clean at [0:hw], noisy at [l:l+hw] pre-trim) land
+    side by side in scratch rows of width 2*hw. Halves the per-frame roll
+    op count and doubles the conv dot's N dim (the MXU is N-starved at the
+    low resolutions). Cross-seam reads are safe by construction: every roll
+    offset |off| <= w+1 < 2w, and the 2w lanes around the seam are the two
+    frames' H-padding rows (zeros) -- wrapped/seam lanes are additionally
+    dx-masked, exactly like the single-frame stack. masks2: (c, 2*hw)."""
+    c = xt2.shape[0]
+    for k, (dy, dx) in enumerate(_TAPS):
+        off = (1 + dy) * w + dx
+        r = _roll(xt2, off)
+        pair = jnp.concatenate([r[:, :hw], r[:, l:l + hw]], axis=1)
+        if dx != 0:
+            pair = jnp.where(masks2[dx], pair, 0)
+        scr[k * c:(k + 1) * c, :] = pair.astype(scr.dtype)
+
+
 def _ones_interior(c: int, l: int, w: int, dtype=F32):
     """A 'ones frame' in packed layout: ones on the H interior, zeros on the
     two H-padding rows (the conv's zero spatial padding must survive the
@@ -343,7 +364,13 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
     # the f32 formulation. Lanes are pixels and stay 1:1 through the
     # bitcast, so shifts and the per-lane dx edge masks are unaffected;
     # one bitcast back to bf16 feeds the MXU dot.
-    masks = _make_masks(c // 2 if packed else c, hw, w)
+    #
+    # Stream pairing (round 5): the two DART halves are lane-concatenated
+    # and tap-stacked TOGETHER (_stack_pair_into), so each frame does 9
+    # rolls instead of 18 and ONE 2D-conv dot with N = 2*HW instead of two
+    # N = HW dots. The clean half of the pair stack (lanes [0:hw]) is what
+    # the context ring stores.
+    masks2 = _make_masks(c // 2 if packed else c, 2 * hw, w)
     w2 = w2p[...].astype(mm_dtype)
     if with_ctx:
         w3a = w3p[:9 * c].astype(mm_dtype)
@@ -355,42 +382,41 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
     def _unpack(a):
         return pltpu.bitcast(a, jnp.bfloat16) if packed else a
 
-    def transform(j, s):
-        xv = xq[0, j, s].astype(F32)
+    def transform_one(xv, cvv):
+        xv = xv.astype(F32)
         if has_cv:
-            xv = xv * cvq[0, j, s].astype(F32)[:, None]
-        xv = _silu_f32(xv) if silu_in else xv
-        return _pack(xv) if packed else xv
+            xv = xv * cvv.astype(F32)[:, None]
+        return _silu_f32(xv) if silu_in else xv
+
+    def transform_pair(j):
+        pair = jnp.concatenate(
+            [transform_one(xq[0, j, 0], cvq[0, j, 0] if has_cv else None),
+             transform_one(xq[0, j, 1], cvq[0, j, 1] if has_cv else None)],
+            axis=1)
+        return _pack(pair) if packed else pair
 
     def transform_halo(xh, cvh):
-        xv = xh[0, 0, 0].astype(F32)
-        if has_cv:
-            xv = xv * cvh[0, 0, 0].astype(F32)[:, None]
-        xv = _silu_f32(xv) if silu_in else xv
+        xv = transform_one(xh[0, 0, 0], cvh[0, 0, 0] if has_cv else None)
         return _pack(xv) if packed else xv
-
-    def conv2d(tr):
-        _stack_into(a_scr, 0, tr, w, hw, masks)
-        return _dot_kc(w2, _unpack(a_scr[...]))
 
     if with_ctx:
         # STACKED-tap ring: slot t % 2 holds the 9 shifted-tap rows of
-        # transformed clean frame t. Each clean frame is tap-stacked ONCE
-        # (for its own 2D conv) and the stack is reused by the context
-        # convs of frames t+1 / t+2 -- vs rebuilding the 9-roll stack from
-        # a raw ring at every reader (2 stacks/frame instead of 4).
-        # Preload frames t0-2 (same parity as t0) and t0-1; ones before
-        # the clip start (reference conv.py:68).
+        # transformed clean frame t (width hw -- the clean half of the
+        # pair stack). Each clean frame is tap-stacked ONCE and reused by
+        # the context convs of frames t+1 / t+2. Preload frames t0-2 (same
+        # parity as t0) and t0-1; ones before the clip start (reference
+        # conv.py:68). Halo frames ride the pair path duplicated -- two
+        # single-frame stacks per program, cost is noise.
         ones = (_pack(_ones_interior(c, l, w)) if packed
                 else _ones_interior(c, l, w))
-        _stack_into(a_scr, 0,
-                    jnp.where(t0 >= 2, transform_halo(xh0, cvh0), ones),
-                    w, hw, masks)
-        st_ring[t0 % 2] = a_scr[...]
-        _stack_into(a_scr, 0,
-                    jnp.where(t0 >= 1, transform_halo(xh1, cvh1), ones),
-                    w, hw, masks)
-        st_ring[(t0 + 1) % 2] = a_scr[...]
+        h0 = jnp.where(t0 >= 2, transform_halo(xh0, cvh0), ones)
+        _stack_pair_into(a_scr, jnp.concatenate([h0, h0], axis=1),
+                         w, hw, l, masks2)
+        st_ring[t0 % 2] = a_scr[:, :hw]
+        h1 = jnp.where(t0 >= 1, transform_halo(xh1, cvh1), ones)
+        _stack_pair_into(a_scr, jnp.concatenate([h1, h1], axis=1),
+                         w, hw, l, masks2)
+        st_ring[(t0 + 1) % 2] = a_scr[:, :hw]
 
     def body(j, _):
         t = t0 + j
@@ -399,10 +425,11 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
             # t's own stack overwrites the t-2 slot below
             ctx = (_dot_kc(w3a, _unpack(st_ring[t % 2]))
                    + _dot_kc(w3b, _unpack(st_ring[(t + 1) % 2])))
-        y2d_c = conv2d(transform(j, 0))
+        _stack_pair_into(a_scr, transform_pair(j), w, hw, l, masks2)
+        y2d = _dot_kc(w2, _unpack(a_scr[...]))   # (Cop, 2*hw)
         if with_ctx:
-            st_ring[t % 2] = a_scr[...]  # frame t's stack, still in a_scr
-        y2d_n = conv2d(transform(j, 1))
+            st_ring[t % 2] = a_scr[:, :hw]  # clean half of frame t's stack
+        y2d_c, y2d_n = y2d[:, :hw], y2d[:, hw:]
         if with_ctx:
             g_c = gates[0, j, 0, 0]
             g_n = gates[0, j, 0, 1]
@@ -436,23 +463,45 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
 # recompute of frames t-1/t-2.
 # ---------------------------------------------------------------------------
 
-def _stack_inv_into(scr, da, gscr, w: int, hw: int, masks):
+def _stack_inv_into(scr, da, gscr, w: int, hw: int, masks, lw: int):
     """Inverse-shifted stack of an output gradient: scr row-block k holds
     wide_k[m] = masked_k(da)[m - off_k] (zeros outside the HW window; the
     only wrap positions land on discarded H-pad lanes). Rolls run on the
-    (Co, Lp) widen scratch (f32, or packed-i32 channel pairs -- see
-    _bwd_kernel) -- independent of the (possibly much larger) input channel
-    count, which is what makes this formulation cheaper than un-stacking a
-    (9C, HW) gradient."""
+    (Co, lw) prefix of the widen scratch (f32, or packed-i32 channel pairs
+    -- see _bwd_kernel) -- independent of the (possibly much larger) input
+    channel count, which is what makes this formulation cheaper than
+    un-stacking a (9C, HW) gradient. `lw` selects the single-frame width
+    (Lp; the scratches are allocated 2*Lp wide for the paired variant
+    below)."""
     co = da.shape[0]
-    l = gscr.shape[1]
     for k, (dy, dx) in enumerate(_TAPS):
         off = (1 + dy) * w + dx
         g = da
         if dx != 0:
             g = jnp.where(masks[dx], g, 0)
         gscr[:, :hw] = g
-        gscr[:, hw:] = jnp.zeros((co, l - hw), gscr.dtype)
+        gscr[:, hw:lw] = jnp.zeros((co, lw - hw), gscr.dtype)
+        scr[k * co:(k + 1) * co, :lw] = _roll(gscr[:, :lw], -off)
+
+
+def _stack_inv_pair_into(scr, da_c, da_n, gscr, w: int, hw: int, l: int,
+                         masks):
+    """Stream-PAIRED inverse stack: the two DART halves' output gradients
+    are placed at the pair layout's two windows (clean at [0:hw], noisy at
+    [l:l+hw]) of the 2*Lp widen scratch and every tap does ONE roll over
+    the pair -- the exact transpose of _stack_pair_into. Cross-seam and
+    wrapped contributions are zero by the same argument as the forward
+    pair stack (pad rows + dx masks). masks: single-width (Co, hw)."""
+    co = da_c.shape[0]
+    gscr[...] = jnp.zeros(gscr.shape, gscr.dtype)
+    for k, (dy, dx) in enumerate(_TAPS):
+        off = (1 + dy) * w + dx
+        gc, gn = da_c, da_n
+        if dx != 0:
+            gc = jnp.where(masks[dx], gc, 0)
+            gn = jnp.where(masks[dx], gn, 0)
+        gscr[:, :hw] = gc
+        gscr[:, l:l + hw] = gn
         scr[k * co:(k + 1) * co, :] = _roll(gscr[...], -off)
 
 
@@ -514,20 +563,25 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
                 jnp.sum(go * ((b - a) * s_ + lerp * ds)))
 
     def inv_stack(da):
-        """Inverse-shifted 9-tap stack of an output grad, as mm_dtype."""
+        """Single-width inverse 9-tap stack (ctx grads, halo epilogue):
+        writes the [:, :l] prefix of the 2*Lp scratches, as mm_dtype."""
         if packed:
             dap = pltpu.bitcast(da.astype(jnp.bfloat16), jnp.int32)
-            _stack_inv_into(si_scr, dap, g_scr, w, hw, masks)
-            return pltpu.bitcast(si_scr[...], jnp.bfloat16)
-        _stack_inv_into(si_scr, da, g_scr, w, hw, masks)
-        return si_scr[...].astype(mm_dtype)
+            _stack_inv_into(si_scr, dap, g_scr, w, hw, masks, l)
+            return pltpu.bitcast(si_scr[:, :l], jnp.bfloat16)
+        _stack_inv_into(si_scr, da, g_scr, w, hw, masks, l)
+        return si_scr[:, :l].astype(mm_dtype)
 
-    def branch(da, tr):
-        """stack_inv(da) -> (dtr for this conv input, dW accum term)."""
-        si = inv_stack(da)
-        dtr = _dot_kc(w2m, si)
-        dw = _dot_nn(si, tr.astype(mm_dtype))
-        return dtr, dw
+    def inv_stack_pair(da_c, da_n):
+        """Stream-paired inverse stack (both halves' 2D-conv grads in one
+        9-roll pass over the 2*Lp scratches), as mm_dtype (9*Cop, 2*Lp)."""
+        if packed:
+            dc = pltpu.bitcast(da_c.astype(jnp.bfloat16), jnp.int32)
+            dn = pltpu.bitcast(da_n.astype(jnp.bfloat16), jnp.int32)
+            _stack_inv_pair_into(si_scr, dc, dn, g_scr, w, hw, l, masks)
+            return pltpu.bitcast(si_scr[...], jnp.bfloat16)
+        _stack_inv_pair_into(si_scr, da_c, da_n, g_scr, w, hw, l, masks)
+        return si_scr[...].astype(mm_dtype)
 
     def finalize_clean(j):
         t = t0 + j
@@ -564,9 +618,14 @@ def _bwd_kernel(xq, xh0, xh1, w2t, w3at, w3bt, cvq, cvh0, cvh1, gates,
         else:
             da_c, da_n = go_c, go_n
 
-        dtr_c, dw_c = branch(da_c, tr_c)
-        dtr_n, dw_n = branch(da_n, tr_n)
-        dw2t[...] += dw_c + dw_n
+        # paired 2D-conv backward: ONE inverse stack + one dX dot + one dW
+        # dot for both DART halves (the dW dot's 2*Lp contraction sums the
+        # two halves' contributions exactly)
+        si2 = inv_stack_pair(da_c, da_n)
+        tr_pair = jnp.concatenate([tr_c, tr_n], axis=1).astype(mm_dtype)
+        dtr2 = _dot_kc(w2m, si2)
+        dw2t[...] += _dot_nn(si2, tr_pair)
+        dtr_c, dtr_n = dtr2[:, :l], dtr2[:, l:]
 
         if with_ctx:
             tr2 = tr_ring[t % 2]
@@ -766,20 +825,21 @@ def _fused_fwd_impl(xp, w2, w3, cvec, gates, h, w, silu_in, with_ctx,
         in_specs=[xq, xh0, xh1, w2s, w3s, cvq, cvh0, cvh1, gsp],
         out_specs=out_specs,
         out_shape=out_shape,
-        # a_scr + (ctx only) the 2-slot stacked-tap ring. With the bf16
-        # body (the training configuration) forward scratch (27*cp*hw*2)
-        # stays below the backward's (15*cp*l*4), so _pick_tb's backward
-        # footprint remains the binding VMEM model. packed: same bytes,
-        # half the sublanes, i32 (see _fwd_kernel).
-        scratch_shapes=([pltpu.VMEM((9 * cp // 2, hw), jnp.int32)] + (
+        # a_scr (stream-paired: 2*hw lanes) + (ctx only) the 2-slot
+        # stacked-tap ring (clean half only, hw lanes). With the bf16 body
+        # (the training configuration) forward scratch (36*cp*hw*2) stays
+        # below the backward's, so _pick_tb's backward footprint remains
+        # the binding VMEM model. packed: same bytes, half the sublanes,
+        # i32 (see _fwd_kernel).
+        scratch_shapes=([pltpu.VMEM((9 * cp // 2, 2 * hw), jnp.int32)] + (
             [pltpu.VMEM((2, 9 * cp // 2, hw), jnp.int32)] if with_ctx
             else []) if packed else
-            [pltpu.VMEM((9 * cp, hw), mm_dtype)] + (
+            [pltpu.VMEM((9 * cp, 2 * hw), mm_dtype)] + (
             [pltpu.VMEM((2, 9 * cp, hw), mm_dtype)] if with_ctx else [])),
         compiler_params=_vmem_params(
             tb * 2 * cp * l * 2 * 2, 2 * 2 * cp * l * 2,
             tb * 2 * cop * hw * 2 * (3 if with_ctx else 1),
-            9 * cp * hw * 2,
+            2 * 9 * cp * hw * 2,
             (2 * 9 * cp * hw * 2) if with_ctx else 0),
         interpret=interpret,
     )(xp, xp, xp, w2p, w3p, cv, cv, cv, gf)
@@ -878,12 +938,14 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
     gf = gates.astype(F32)[:, :, None]
     if packed:
         # si/g scratch in packed-i32 (half sublanes, bf16 values -- see
-        # _bwd_kernel); pend_ring stays F32 (gradient ACCUMULATION).
-        si_g_scr = [pltpu.VMEM((9 * cop // 2, l), jnp.int32),
-                    pltpu.VMEM((cop // 2, l), jnp.int32)]
+        # _bwd_kernel); 2*Lp wide for the stream-paired inverse stack (the
+        # ctx/halo single-width variant uses the [:, :l] prefix); pend_ring
+        # stays F32 (gradient ACCUMULATION).
+        si_g_scr = [pltpu.VMEM((9 * cop // 2, 2 * l), jnp.int32),
+                    pltpu.VMEM((cop // 2, 2 * l), jnp.int32)]
     else:
-        si_g_scr = [pltpu.VMEM((9 * cop, l), F32),
-                    pltpu.VMEM((cop, l), F32)]
+        si_g_scr = [pltpu.VMEM((9 * cop, 2 * l), F32),
+                    pltpu.VMEM((cop, 2 * l), F32)]
     dxq, dw2t, dw3at_o, dw3bt_o, dcvq, dgates = pl.pallas_call(
         kernel,
         grid=(b, nt),
@@ -900,7 +962,7 @@ def _fused_bwd(h, w, silu_in, with_ctx, interpret, res, gout):
         compiler_params=_vmem_params(
             tb * 2 * cp * l * 2 * 3, 2 * 2 * cp * l * 2,
             tb * 2 * cop * hw * 2 * 3, 5 * cop * hw * 2,
-            9 * cop * l * 4, 5 * cp * l * 4, 2 * 9 * cop * cp * 4),
+            2 * 9 * cop * l * 4, 5 * cp * l * 4, 2 * 9 * cop * cp * 4),
         interpret=interpret,
     )(xp, xp, xp, w2t, w3at, w3bt, cv, cv, cv, gf,
       gout, y2d_res, ctx_res, gout, gout, y2d_res, y2d_res,

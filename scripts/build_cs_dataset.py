@@ -26,14 +26,51 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
+def structured_clip(rng, t, size=128, n_actions=4, tc=4):
+    """Structured synthetic video with learnable temporal dynamics (the
+    CS-scale *learning* proof needs real signal, not white noise): a dark
+    textured background with a terrain strip, an action-driven bright
+    sprite (velocity set by the action, resampled every `tc` frames like
+    the gym cadence), and two drifting distractor sprites. Past frames +
+    actions carry almost all of the next frame's information."""
+    bg = rng.normal(0, 1, (size // 8, size // 8, 3))
+    bg = np.kron(bg, np.ones((8, 8, 1)))  # blocky dim texture
+    bg = ((bg - bg.min()) / (bg.ptp() + 1e-6) * 40).astype(np.uint8)
+    terrain_h = size // 8 + (rng.integers(0, size // 8))
+    frames = np.empty((t, size, size, 3), np.uint8)
+    actions = np.empty((t,), np.int64)
+    vel = [(0, 0), (3, 0), (0, 3), (-3, -3)][:n_actions]
+    x, y = rng.integers(16, size - 16, 2)
+    spr = [(rng.integers(0, size), rng.integers(0, size),
+            int(rng.integers(1, 3)) * np.sign(rng.integers(0, 2) - .5),
+            int(rng.integers(1, 3))) for _ in range(2)]
+    a = int(rng.integers(0, n_actions))
+    for i in range(t):
+        if i % tc == 0:
+            a = int(rng.integers(0, n_actions))
+        actions[i] = a
+        dx, dy = vel[a % len(vel)]
+        x = int((x + dx) % size)
+        y = int((y + dy) % size)
+        f = bg.copy()
+        f[-terrain_h:] = (90, 85, 70)
+        for k, (sx, sy, sv, sw) in enumerate(spr):
+            sx = int((sx + sv * i) % size)
+            sy = int((sy + sw * i) % size)
+            f[max(0, sy - 3):sy + 3, max(0, sx - 3):sx + 3] = (
+                (200, 60, 60) if k == 0 else (60, 60, 220))
+        f[max(0, y - 5):y + 5, max(0, x - 5):x + 5] = (230, 230, 230)
+        frames[i] = f
+    return frames, actions
+
+
 def iter_clips(args):
     if args.synthetic:
         rng = np.random.default_rng(0)
         for i in range(args.synthetic):
-            t = args.clip_frames
-            yield (f"synthetic_{i}",
-                   rng.integers(0, 256, (t, 128, 128, 3), dtype=np.uint8),
-                   rng.integers(0, args.n_actions, (t,), dtype=np.int64))
+            frames, actions = structured_clip(
+                rng, args.clip_frames, n_actions=args.n_actions)
+            yield f"synthetic_{i}", frames, actions
         return
     names = sorted(os.listdir(args.src))
     for name in names:
@@ -99,11 +136,19 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     mds_writer = None
     if args.mds:
-        from streaming import MDSWriter
-        key = "frames" if args.raw else "latents"
-        mds_writer = MDSWriter(
-            out=args.out, compression="zstd",
-            columns={key: "ndarray", "actions": "ndarray"})
+        # reference column schema ('mean'/'action',
+        # dataset_processing_counter_strike.py:90); the vendored writer
+        # (data/mds.py) stands in when `streaming` is not installed
+        mkey = "frames" if args.raw else "mean"
+        columns = {mkey: "ndarray", "action": "ndarray"}
+        try:
+            from streaming import MDSWriter
+            mds_writer = MDSWriter(out=args.out, compression="zstd",
+                                   columns=columns)
+        except ImportError:
+            from autoregressive_diffusion_tpu.data import MDSShardWriter
+            mds_writer = MDSShardWriter(args.out, columns,
+                                        compression="zstd")
 
     for name, frames, actions in iter_clips(args):
         frames_pm1 = resize_frames_batch(frames, args.frame_size)
@@ -112,7 +157,8 @@ def main():
         else:
             data, key = encode(frames_pm1), "latents"
         if mds_writer is not None:
-            mds_writer.write({key: data, "actions": actions})
+            mds_writer.write({("frames" if args.raw else "mean"): data,
+                              "action": np.asarray(actions, np.int64)})
         else:
             out_path = os.path.join(args.out,
                                     os.path.splitext(name)[0] + ".npz")

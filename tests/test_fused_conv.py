@@ -253,13 +253,18 @@ def test_vmem_gate_and_block_picker():
     (c) reject only shapes that cannot fit even at TB=2."""
     # gym flagship hot block: 64x64, 32ch -> whole clip in one program
     assert fc._pick_tb(8, 64, 64, 32, 32) == 8
-    # CS decoder block: 32x32, 256ch, T=16 overflows whole-clip VMEM but
-    # fits when frame-blocked
-    tb = fc._pick_tb(16, 32, 32, 256, 256)
-    assert 2 <= tb < 16
+    # CS decoder block: 32x32, 256ch, T=16 overflows whole-clip VMEM; with
+    # the round-5 stream-paired scratches (2*Lp wide) it no longer fits
+    # even at TB=2, so the footprint gate rejects it -- consistent with the
+    # measured policy (Cp >= 128 shapes lose to XLA and are cap-routed
+    # there by default anyway)
     budget = 64 << 20
-    assert fc._bwd_vmem_bytes(tb, 32, 32, 256, 256) <= budget
+    assert fc._bwd_vmem_bytes(2, 32, 32, 256, 256) > budget
     assert fc._bwd_vmem_bytes(16, 32, 32, 256, 256) > budget
+    # a CS-encoder-scale 96ch shape still fits frame-blocked
+    tb = fc._pick_tb(16, 32, 32, 96, 96)
+    assert 2 <= tb <= 16
+    assert fc._bwd_vmem_bytes(tb, 32, 32, 96, 96) <= budget
     # fused_supported admits the CS shape (channel-aware) in train mode
     ok, _ = fc.fused_supported("train", 32, 32, 32, cin=256, cout=256)
     # gate passes the footprint check on CPU only via env; just assert the
@@ -274,10 +279,15 @@ def test_vmem_gate_and_block_picker():
         # ms/step), so cin=256 is rejected by default...
         ok, _ = fc.fused_supported("train", 32, 32, 32, cin=256, cout=256)
         assert not ok
-        # ...but admitted (frame-blocked) when the cap is raised
+        # ...and with the cap raised it is STILL rejected -- by the
+        # footprint gate (paired scratches exceed the budget at TB=2);
+        # a 96ch shape is admitted
         os.environ["AD_TPU_FUSED_MAX_CP"] = "512"
+        ok, _ = fc.fused_supported("train", 32, 32, 32,
+                                   cin=256, cout=256)
+        assert not ok
         ok, interp = fc.fused_supported("train", 32, 32, 32,
-                                        cin=256, cout=256)
+                                        cin=96, cout=96)
         assert ok and interp
         # a lane-starved gym shape is admitted under the default cap
         del os.environ["AD_TPU_FUSED_MAX_CP"]

@@ -82,7 +82,7 @@ def xla_gated_conv(x, w2, w3, cvec, gates, silu_in=True):
     return (y2d + (ctx - y2d) * g) * s
 
 
-def _marginal(step, x0, target_s=2.0):
+def _marginal(step, x0, target_s=4.0):
     """On-device chained marginal-cost timing: a DYNAMIC-length
     lax.fori_loop runs n data-dependent iterations of `step` in ONE
     dispatch (one compile; host/tunnel RTT jitter subtracts out in the
@@ -103,12 +103,17 @@ def _marginal(step, x0, target_s=2.0):
         return time.perf_counter() - t0
 
     run(2)  # compile
-    rough = max(run(16) / 16, 1e-6)
-    n_long = int(min(max(target_s / rough, 64), 20000))
+    # pilot must itself be a MARGINAL: a single run's wall time is
+    # dominated by the fixed ~100ms tunnel dispatch+fetch overhead, which
+    # would inflate the per-iter estimate ~40x and make n_long uselessly
+    # short
+    t16, t128 = run(16), run(128)
+    rough = max((t128 - t16) / 112, 2e-7)
+    n_long = int(min(max(target_s / rough, 256), 100_000))
     n_short = max(n_long // 8, 1)
     run(n_short)
     best = min((run(n_long) - run(n_short)) / (n_long - n_short)
-               for _ in range(2))
+               for _ in range(3))
     return best
 
 
@@ -139,8 +144,12 @@ def bench_shape(name, b, t, h, w, cin, cout, iters=200):
     @jax.jit
     def fwdbwd(xp):
         def loss(a, *ws):
-            return jnp.sum(fc.fused_gated_conv(a, *ws, h, w, True, True)
-                           .astype(jnp.float32))
+            # sum(out**2): the cotangent 2*out is LOOP-VARIANT, so XLA
+            # cannot hoist the backward out of the timing fori_loop (with
+            # sum(out) the cotangent is constant and most of the XLA
+            # backward is loop-invariant -> fake 300+ TF/s readings)
+            o = fc.fused_gated_conv(a, *ws, h, w, True, True)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
         g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xp, w2, w3, cv, gates)
         return _consume(xp, g)
 
@@ -153,7 +162,7 @@ def bench_shape(name, b, t, h, w, cin, cout, iters=200):
     @jax.jit
     def xfwdbwd(x):
         def loss(a, *ws):
-            return jnp.sum(xla_gated_conv(a, *ws).astype(jnp.float32))
+            return jnp.sum(xla_gated_conv(a, *ws).astype(jnp.float32) ** 2)
         g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w2, w3, cv, gates)
         return _consume(x, g)
 
