@@ -269,7 +269,7 @@ def _stack_into(scr, base_row, xt, w: int, hw: int, masks):
             shifted.astype(scr.dtype))
 
 
-def _stack_pair_into(scr, xt2, w: int, hw: int, l: int, masks2):
+def _stack_pair_into(scr, xt2, w: int, hw: int, l: int, masks):
     """Stream-PAIRED tap stack: xt2 is the lane-concat of both DART halves'
     padded frames (Cp, 2*Lp); each tap does ONE roll over the pair and the
     two output windows (clean at [0:hw], noisy at [l:l+hw] pre-trim) land
@@ -278,15 +278,20 @@ def _stack_pair_into(scr, xt2, w: int, hw: int, l: int, masks2):
     low resolutions). Cross-seam reads are safe by construction: every roll
     offset |off| <= w+1 < 2w, and the 2w lanes around the seam are the two
     frames' H-padding rows (zeros) -- wrapped/seam lanes are additionally
-    dx-masked, exactly like the single-frame stack. masks2: (c, 2*hw)."""
+    dx-masked, exactly like the single-frame stack. masks: (c, hw) single
+    width (both windows share the per-lane dx masks). The two windows are
+    written as two stores -- a per-tap lane-concat would materialize an
+    extra copy of the whole stack (measured +41% on the enc0 fwd cell)."""
     c = xt2.shape[0]
     for k, (dy, dx) in enumerate(_TAPS):
         off = (1 + dy) * w + dx
         r = _roll(xt2, off)
-        pair = jnp.concatenate([r[:, :hw], r[:, l:l + hw]], axis=1)
+        a, bn = r[:, :hw], r[:, l:l + hw]
         if dx != 0:
-            pair = jnp.where(masks2[dx], pair, 0)
-        scr[k * c:(k + 1) * c, :] = pair.astype(scr.dtype)
+            a = jnp.where(masks[dx], a, 0)
+            bn = jnp.where(masks[dx], bn, 0)
+        scr[k * c:(k + 1) * c, :hw] = a.astype(scr.dtype)
+        scr[k * c:(k + 1) * c, hw:] = bn.astype(scr.dtype)
 
 
 def _ones_interior(c: int, l: int, w: int, dtype=F32):
@@ -370,7 +375,7 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
     # rolls instead of 18 and ONE 2D-conv dot with N = 2*HW instead of two
     # N = HW dots. The clean half of the pair stack (lanes [0:hw]) is what
     # the context ring stores.
-    masks2 = _make_masks(c // 2 if packed else c, 2 * hw, w)
+    masks = _make_masks(c // 2 if packed else c, hw, w)
     w2 = w2p[...].astype(mm_dtype)
     if with_ctx:
         w3a = w3p[:9 * c].astype(mm_dtype)
@@ -411,11 +416,11 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
                 else _ones_interior(c, l, w))
         h0 = jnp.where(t0 >= 2, transform_halo(xh0, cvh0), ones)
         _stack_pair_into(a_scr, jnp.concatenate([h0, h0], axis=1),
-                         w, hw, l, masks2)
+                         w, hw, l, masks)
         st_ring[t0 % 2] = a_scr[:, :hw]
         h1 = jnp.where(t0 >= 1, transform_halo(xh1, cvh1), ones)
         _stack_pair_into(a_scr, jnp.concatenate([h1, h1], axis=1),
-                         w, hw, l, masks2)
+                         w, hw, l, masks)
         st_ring[(t0 + 1) % 2] = a_scr[:, :hw]
 
     def body(j, _):
@@ -425,7 +430,7 @@ def _fwd_kernel(xq, xh0, xh1, w2p, w3p, cvq, cvh0, cvh1, gates, out, *rest,
             # t's own stack overwrites the t-2 slot below
             ctx = (_dot_kc(w3a, _unpack(st_ring[t % 2]))
                    + _dot_kc(w3b, _unpack(st_ring[(t + 1) % 2])))
-        _stack_pair_into(a_scr, transform_pair(j), w, hw, l, masks2)
+        _stack_pair_into(a_scr, transform_pair(j), w, hw, l, masks)
         y2d = _dot_kc(w2, _unpack(a_scr[...]))   # (Cop, 2*hw)
         if with_ctx:
             st_ring[t % 2] = a_scr[:, :hw]  # clean half of frame t's stack

@@ -18,10 +18,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CELLS = [
-    ("default (Cp<=96 fused)", {}),
-    ("all-XLA", {"AD_TPU_FUSED_CONV": "0"}),
-    ("Cp<=64", {"AD_TPU_FUSED_MAX_CP": "64"}),
+    ("Cp<=96", {}),
+    ("Cp<=128", {"AD_TPU_FUSED_MAX_CP": "128"}),
     ("Cp<=192", {"AD_TPU_FUSED_MAX_CP": "192"}),
+    ("no cap, VMEM 96M", {"AD_TPU_FUSED_MAX_CP": "99999",
+                          "AD_TPU_FUSED_VMEM_MB": "96"}),
 ]
 
 
