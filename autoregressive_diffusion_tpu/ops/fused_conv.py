@@ -183,12 +183,15 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
     _pick_tb) fall back to the XLA path -- with cin/cout unknown (0) the
     check is skipped for backward compatibility.
 
-    AD_TPU_FUSED_MAX_CP (default 96) caps the padded in-channel count the
-    kernel accepts: its edge over XLA is lane-starved shapes (C < 128,
-    where XLA pads lanes 2-4x); from Cp=128 up XLA tiles lanes densely and
-    the kernel's halo recompute makes it a net loss. Measured end-to-end
-    (v5e): gym config 58.5 samples/s with no cap, 60.4 at 192, 61.1 at 96;
-    CS config 106.1 ms/step pure-XLA vs 117.2 all-fused and 118.6 at 192.
+    AD_TPU_FUSED_MAX_CP (default 192 since round 5) caps the padded
+    in-channel count the kernel accepts: its edge over XLA is lane-starved
+    shapes, and the stream-paired stacks (round 5) moved the crossover up
+    -- measured end-to-end (v5e, gym config, paired kernels):
+    68.2 samples/s at cap 96, 69.4 at 128, 70.7 at 192, 70.6 no-cap with
+    a 96M VMEM budget (the remaining Cp>=256 shapes are footprint-
+    rejected). Round-4 pre-pairing numbers for history: 61.1 at 96,
+    60.4 at 192, 58.5 no-cap; CS config 106.1 ms/step pure-XLA vs 117.2
+    all-fused (re-swept in round 4 to a wash).
     """
     import os
     env = os.environ.get("AD_TPU_FUSED_CONV", "")
@@ -199,7 +202,7 @@ def fused_supported(mode: str, h: int, w: int, t_total: int,
     if cin or cout:
         cp = _cpad(max(cin, 1))
         cop = max(_cpad(max(cout, 1)), 8)
-        if cp > int(os.environ.get("AD_TPU_FUSED_MAX_CP", "96")):
+        if cp > int(os.environ.get("AD_TPU_FUSED_MAX_CP", "192")):
             return False, False
         # Separate cout cap: a small-cin conv into a wide cout (the CS
         # stem, 9->128 at 32x32) gives XLA a densely-tiled output and the

@@ -273,7 +273,8 @@ def test_vmem_gate_and_block_picker():
     prev = os.environ.get("AD_TPU_FUSED_CONV")
     os.environ["AD_TPU_FUSED_CONV"] = "interpret"
     try:
-        # the channel cap (AD_TPU_FUSED_MAX_CP, default 96) sends
+        # the channel cap (AD_TPU_FUSED_MAX_CP, default 192 since the
+        # round-5 paired-stack sweep) sends
         # lane-dense shapes (Cp >= 128) to XLA: measured end-to-end at CS
         # scale the kernel loses there (all-fused 117.2 vs XLA 106.1
         # ms/step), so cin=256 is rejected by default...
