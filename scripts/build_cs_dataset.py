@@ -35,7 +35,7 @@ def structured_clip(rng, t, size=128, n_actions=4, tc=4):
     actions carry almost all of the next frame's information."""
     bg = rng.normal(0, 1, (size // 8, size // 8, 3))
     bg = np.kron(bg, np.ones((8, 8, 1)))  # blocky dim texture
-    bg = ((bg - bg.min()) / (bg.ptp() + 1e-6) * 40).astype(np.uint8)
+    bg = ((bg - bg.min()) / (np.ptp(bg) + 1e-6) * 40).astype(np.uint8)
     terrain_h = size // 8 + (rng.integers(0, size // 8))
     frames = np.empty((t, size, size, 3), np.uint8)
     actions = np.empty((t,), np.int64)
@@ -156,6 +156,13 @@ def main():
             data, key = (frames_pm1 * 127.5 + 127.5).astype(np.uint8), "frames"
         else:
             data, key = encode(frames_pm1), "latents"
+            # actions are recorded per PIXEL frame; the latent stream is
+            # time-compressed, so window alignment (cs_dataloading.py
+            # clip windows index latents and actions together) needs one
+            # action per latent frame -- the action at each group start
+            # (exact for tc-aligned resampling, structured_clip)
+            tc = max(1, len(actions) // max(1, len(data)))
+            actions = np.asarray(actions)[::tc][:len(data)]
         if mds_writer is not None:
             mds_writer.write({("frames" if args.raw else "mean"): data,
                               "action": np.asarray(actions, np.int64)})
