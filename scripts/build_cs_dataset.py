@@ -28,38 +28,51 @@ import numpy as np
 
 def structured_clip(rng, t, size=128, n_actions=4, tc=4):
     """Structured synthetic video with learnable temporal dynamics (the
-    CS-scale *learning* proof needs real signal, not white noise): a dark
-    textured background with a terrain strip, an action-driven bright
-    sprite (velocity set by the action, resampled every `tc` frames like
-    the gym cadence), and two drifting distractor sprites. Past frames +
-    actions carry almost all of the next frame's information."""
-    bg = rng.normal(0, 1, (size // 8, size // 8, 3))
-    bg = np.kron(bg, np.ones((8, 8, 1)))  # blocky dim texture
-    bg = ((bg - bg.min()) / (np.ptp(bg) + 1e-6) * 40).astype(np.uint8)
-    terrain_h = size // 8 + (rng.integers(0, size // 8))
+    CS-scale *learning* proof needs real signal, not white noise): an
+    action-controlled CAMERA PAN over a fixed textured world (terrain
+    strip + colored landmarks), plus two drifting sprites and a bright
+    player marker. The pan makes EVERY pixel's next value a function of
+    past frames + the action (a context-free denoiser cannot know the
+    scroll phase at high sigma), which is what a world model must learn
+    -- the first cut put the temporal signal in ~1% of pixels (one
+    sprite) and a 310M model learned single-frame denoising instead
+    (round-5 scrambled-context probe: loss identical under context
+    shuffling)."""
+    # world texture: coarse blocky field + a terrain band + landmarks,
+    # toroidal (np.roll camera)
+    world = rng.normal(0, 1, (size // 8, size // 8, 3))
+    world = np.kron(world, np.ones((8, 8, 1)))
+    world = ((world - world.min()) / (np.ptp(world) + 1e-6) * 90).astype(
+        np.uint8)
+    band = size // 2 + int(rng.integers(0, size // 4))
+    world[band:band + size // 6] = (120, 110, 80)  # terrain band
+    for _ in range(6):  # bright landmarks the pan sweeps across
+        ly, lx = rng.integers(0, size, 2)
+        world[ly:ly + 6, lx:lx + 6] = rng.integers(120, 255, 3)
     frames = np.empty((t, size, size, 3), np.uint8)
     actions = np.empty((t,), np.int64)
-    vel = [(0, 0), (3, 0), (0, 3), (-3, -3)][:n_actions]
-    x, y = rng.integers(16, size - 16, 2)
+    # action = camera velocity (CS mouse-look analogue)
+    vel = [(0, 0), (4, 0), (0, 4), (-4, -4)][:n_actions]
+    ox = oy = 0
     spr = [(rng.integers(0, size), rng.integers(0, size),
-            int(rng.integers(1, 3)) * np.sign(rng.integers(0, 2) - .5),
-            int(rng.integers(1, 3))) for _ in range(2)]
+            int(rng.integers(1, 3)), int(rng.integers(1, 3)))
+           for _ in range(2)]
     a = int(rng.integers(0, n_actions))
     for i in range(t):
         if i % tc == 0:
             a = int(rng.integers(0, n_actions))
         actions[i] = a
         dx, dy = vel[a % len(vel)]
-        x = int((x + dx) % size)
-        y = int((y + dy) % size)
-        f = bg.copy()
-        f[-terrain_h:] = (90, 85, 70)
+        ox = (ox + dx) % size
+        oy = (oy + dy) % size
+        f = np.roll(np.roll(world, -oy, 0), -ox, 1).copy()
         for k, (sx, sy, sv, sw) in enumerate(spr):
-            sx = int((sx + sv * i) % size)
-            sy = int((sy + sw * i) % size)
-            f[max(0, sy - 3):sy + 3, max(0, sx - 3):sx + 3] = (
+            px = int((sx + sv * i - ox) % size)
+            py = int((sy + sw * i - oy) % size)
+            f[max(0, py - 3):py + 3, max(0, px - 3):px + 3] = (
                 (200, 60, 60) if k == 0 else (60, 60, 220))
-        f[max(0, y - 5):y + 5, max(0, x - 5):x + 5] = (230, 230, 230)
+        c = size // 2  # player marker fixed at screen center
+        f[c - 4:c + 4, c - 4:c + 4] = (235, 235, 235)
         frames[i] = f
     return frames, actions
 

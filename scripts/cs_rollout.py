@@ -62,15 +62,23 @@ def main():
     variables = jax.jit(model.init, static_argnames=("mode",))(
         jax.random.PRNGKey(0), x0, jnp.ones((1, 2)),
         jnp.zeros((1, 2), jnp.int32), mode="eval")
-    state = create_train_state(model, variables,
-                               make_optimizer(learning_rate=1e-3))
+    # optimizer TEMPLATE must match cs_train's STRUCTURE (schedule-valued
+    # LR -> ScaleByScheduleState; a scalar LR would restore-mismatch)
+    state = create_train_state(
+        model, variables,
+        make_optimizer(learning_rate=lambda s: 1e-3, grad_clip=0.1,
+                       eps=1e-4))
     step = latest_step(args.ckpt_dir)
     assert step is not None, f"no checkpoint under {args.ckpt_dir}"
     state, _ = restore_train_state(args.ckpt_dir, step, jax.device_get(state))
-    ema = state.ema[args.ema] if state.ema else state.params
+    # --ema -1: raw (non-averaged) params -- at only a few thousand steps
+    # the power EMA still remembers early-training weights
+    ema = (state.params if args.ema < 0 or not state.ema
+           else state.ema[args.ema])
     ev = {"params": jax.tree.map(jnp.asarray, ema),
           "buffers": jax.tree.map(jnp.asarray, state.buffers)}
-    print(f"# restored step {step}, EMA slot {args.ema}")
+    print(f"# restored step {step}, weights: "
+          f"{'raw' if args.ema < 0 else f'EMA slot {args.ema}'}")
 
     prefill = jax.jit(partial(model.apply, mode="eval", update_cache=True,
                               prefill_offset=0))
