@@ -132,6 +132,14 @@ def main():
     if not args.raw:
         assert args.vae_ckpt, "--vae-ckpt required unless --raw"
         import jax
+        # same guard as cs_train.py: sitecustomize re-pins JAX_PLATFORMS to
+        # the TPU plugin, so a host-only build must force CPU explicitly
+        if "xla_force_host_platform_device_count" in os.environ.get(
+                "XLA_FLAGS", ""):
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
         import jax.numpy as jnp
         from autoregressive_diffusion_tpu.models.vae import (
             VAE, VAEConfig, encode_long_sequence)

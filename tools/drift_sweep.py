@@ -27,6 +27,11 @@ CELLS = [
     ("guidance1.5", ["--guidance", "1.5"]),
     ("ref+g1.5", ["--s-churn", "0", "--sigma-min", "0.4", "--rho", "2",
                   "--num-steps", "64", "--guidance", "1.5"]),
+    # in-distribution action conditioning (ADVICE r3: the heuristic lander
+    # policy is OOD vs the uniform-random actions gym_train trained on)
+    ("ref-random", ["--s-churn", "0", "--sigma-min", "0.4", "--rho", "2",
+                    "--policy", "random"]),
+    ("r4-random", ["--policy", "random"]),
 ]
 
 SUMMARY = re.compile(r"latent MSE frame1=([\d.]+) frame(\d+)=([\d.]+) "
@@ -43,6 +48,12 @@ def main():
     ap.add_argument("--vae", default="saved_models/vae_lunar_lander.ad")
     ap.add_argument("--cells", default=None,
                     help="comma-separated cell names (default: all)")
+    ap.add_argument("--in-process", action="store_true",
+                    help="run cells by calling rollout_drift.main() in THIS "
+                         "process (one chip claim for the whole sweep -- the "
+                         "tunneled relay needs minutes of cooldown between "
+                         "chip processes, so per-cell subprocesses wedge; "
+                         "jit caches are also shared across cells)")
     args = ap.parse_args()
 
     sel = set(args.cells.split(",")) if args.cells else None
@@ -51,21 +62,41 @@ def main():
         if sel and name not in sel:
             continue
         t0 = time.time()
-        cmd = [sys.executable, os.path.join(REPO, "scripts/rollout_drift.py"),
-               "--unet", os.path.join(REPO, args.unet),
-               "--vae", os.path.join(REPO, args.vae),
-               "--episodes", str(args.episodes),
-               "--frames", str(args.frames),
-               "--out", f"/tmp/drift_{name}"] + extra
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+        argv = ["--unet", os.path.join(REPO, args.unet),
+                "--vae", os.path.join(REPO, args.vae),
+                "--episodes", str(args.episodes),
+                "--frames", str(args.frames),
+                "--out", f"/tmp/drift_{name}"] + extra
+        if args.in_process:
+            import contextlib
+            import io
+            sys.path.insert(0, os.path.join(REPO, "scripts"))
+            import rollout_drift
+            buf = io.StringIO()
+            old_argv, rc = sys.argv, 0
+            try:
+                sys.argv = ["rollout_drift.py"] + argv
+                with contextlib.redirect_stdout(buf):
+                    rollout_drift.main()
+            except Exception as e:
+                rc, tail = 1, repr(e)
+            finally:
+                sys.argv = old_argv
+            out, err = buf.getvalue(), ""
+        else:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts/rollout_drift.py")] + argv,
+                capture_output=True, text=True, timeout=3000)
+            out, err, rc = r.stdout, r.stderr, r.returncode
+            tail = ((err or out).strip().splitlines() or [""])[-1]
         m = None
-        for line in (r.stdout + r.stderr).splitlines():
+        for line in (out + err).splitlines():
             mm = SUMMARY.search(line)
             if mm:
                 m = mm
-        if r.returncode or not m:
-            tail = ((r.stderr or r.stdout).strip().splitlines() or [""])[-1]
-            print(f"{name:16s} FAILED exit={r.returncode} {tail}", flush=True)
+        if rc or not m:
+            print(f"{name:16s} FAILED exit={rc} {tail}", flush=True)
         else:
             f1, flast_i, flast, pers, stdx = m.groups()
             verdict = "BEATS" if float(flast) < float(pers) else "worse than"
