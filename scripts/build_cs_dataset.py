@@ -79,7 +79,7 @@ def structured_clip(rng, t, size=128, n_actions=4, tc=4):
 
 def iter_clips(args):
     if args.synthetic:
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(args.seed)
         for i in range(args.synthetic):
             frames, actions = structured_clip(
                 rng, args.clip_frames, n_actions=args.n_actions)
@@ -120,6 +120,9 @@ def main():
     ap.add_argument("--mds", action="store_true",
                     help="write MosaicML MDS shards instead of .npz")
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="synthetic-clip RNG seed (use a different seed to "
+                         "build a held-out eval split)")
     ap.add_argument("--clip-frames", type=int, default=64)
     ap.add_argument("--n-actions", type=int, default=4)
     args = ap.parse_args()
